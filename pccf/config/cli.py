@@ -1,0 +1,71 @@
+"""CLI entry-point glue: the framework's ``hydra_main`` equivalent.
+
+Composes ``configs/experiment`` with ``sys.argv`` overrides, validates into
+the typed :class:`~pccf.config.specs.AllConfig`, and passes it to the wrapped
+main function (reference src/config/hydra.py:21-35).
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+import sys
+from typing import Any, Callable
+
+from pccf.config.compose import compose
+from pccf.config.experiment import update_exp_name
+from pccf.config.specs import AllConfig, validate_config
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+DEFAULT_CONFIG_DIR = _REPO_ROOT / 'configs' / 'experiment'
+
+
+def get_config_all(
+    overrides: list[str] | None = None,
+    config_dir: str | pathlib.Path = DEFAULT_CONFIG_DIR,
+    config_name: str = 'defaults',
+) -> AllConfig:
+    """Programmatic compose (reference ``get_config_all``, hydra.py:38-52)."""
+    tree = compose(config_dir, config_name, overrides=overrides)
+    cfg = validate_config(tree)
+    if cfg.user.seed is not None:
+        _seed_numpy(cfg.user.seed)
+    return cfg
+
+
+def _seed_numpy(seed: int) -> None:
+    import numpy as np
+
+    np.random.seed(seed)
+
+
+def hydra_main(fn: Callable[[AllConfig], Any]) -> Callable[[], Any]:
+    """Decorator: compose config from CLI args and call ``fn(cfg)``.
+
+    Supports Hydra-style args: ``key=value`` overrides, ``group/sub=option``
+    selections, ``--config-dir DIR``, ``--config-name NAME``.
+    """
+
+    @functools.wraps(fn)
+    def wrapper() -> Any:
+        argv = sys.argv[1:]
+        config_dir: str | pathlib.Path = DEFAULT_CONFIG_DIR
+        config_name = 'defaults'
+        overrides: list[str] = []
+        it = iter(argv)
+        for arg in it:
+            if arg == '--config-dir':
+                config_dir = next(it)
+            elif arg == '--config-name':
+                config_name = next(it)
+            elif arg.startswith('--'):
+                continue
+            else:
+                overrides.append(arg)
+        cfg = get_config_all(overrides, config_dir, config_name)
+        name, tags = update_exp_name(cfg.name, overrides)
+        cfg.variation = name if not cfg.final else name.removesuffix('_final')
+        cfg.tags.extend(tags)
+        return fn(cfg)
+
+    return wrapper

