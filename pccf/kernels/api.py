@@ -1,0 +1,59 @@
+"""Dispatching kernel API: Pallas TPU kernels with jnp fallback.
+
+Mirrors the reference's dual-backend pattern (pykeops on CUDA / torch on CPU,
+src/utils/neighbour_ops.py:27-33): on TPU the fused Pallas kernels run; on
+CPU (tests, virtual meshes) the pure-jnp golden implementations run.
+
+Backend override: ``PCCF_KERNEL_BACKEND`` env var ('pallas' | 'jnp' | 'auto').
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from pccf.kernels import ops
+
+Array = jax.Array
+
+
+def _use_pallas() -> bool:
+    mode = os.environ.get('PCCF_KERNEL_BACKEND', 'auto')
+    if mode == 'pallas':
+        return True
+    if mode == 'jnp':
+        return False
+    return jax.default_backend() not in ('cpu',)
+
+
+def chamfer(x: Array, y: Array, reduction: str = 'mean') -> Array:
+    """Chamfer distance ``(B,)`` — Pallas on TPU, jnp elsewhere."""
+    if _use_pallas() and x.shape[1] % 256 == 0 and y.shape[1] % 256 == 0:
+        from pccf.kernels.pallas_chamfer import chamfer_tpu
+
+        return chamfer_tpu(x, y, reduction)
+    return ops.chamfer(x, y, reduction=reduction)
+
+
+def match_cost(x: Array, y: Array) -> Array:
+    """ApproxMatch EMD ``(B,)`` — fused Pallas kernel on TPU, jnp elsewhere."""
+    if _use_pallas() and x.shape[1] % 256 == 0:
+        from pccf.kernels.pallas_emd import match_cost_tpu
+
+        return match_cost_tpu(x, y)
+    return ops.match_cost(x, y)
+
+
+def knn(x: Array, k: int, *, approx: bool = False) -> Array:
+    """Self-kNN indices ``(B, N, k)``."""
+    return ops.knn(x, k, approx=approx)
+
+
+def nn_distance(x: Array, y: Array):
+    """Bidirectional NN distances (dist1, idx1, dist2, idx2)."""
+    if _use_pallas() and x.shape[1] % 256 == 0 and y.shape[1] % 256 == 0:
+        from pccf.kernels.pallas_chamfer import nn_distance_tpu
+
+        return nn_distance_tpu(x, y)
+    return ops.nn_distance(x, y)

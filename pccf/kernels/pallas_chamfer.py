@@ -3,11 +3,13 @@
 Replaces the reference CUDA ``NmDistanceKernel``
 (external/pytorch_structural_losses/src/nndistance.cu:2-127) with a
 VMEM-resident blockwise scan: the full ``(N, M)`` distance matrix is never
-materialised in HBM.  For 2048-point clouds both clouds (24 KB each) and the
-running min/argmin vectors live entirely in VMEM; distance tiles are produced
-on the MXU via ``|x|^2 + |y|^2 - 2 x y^T`` and reduced immediately.
+materialised in HBM.  For 2048-point clouds both clouds and the running
+min/argmin vectors live entirely in VMEM; distance tiles are produced on the
+MXU and reduced immediately.
 
-Outputs match :func:`pccf.kernels.ops.nn_distance`.
+Outputs match :func:`pccf.kernels.ops.nn_distance`; the ``chamfer_tpu``
+wrapper adds the reference's analytic backward (NmDistanceGradKernel
+semantics composed with the mean/sum reduction).
 """
 
 from __future__ import annotations
@@ -24,8 +26,8 @@ Array = jax.Array
 _TILE_N = 256  # rows of the distance tile computed per inner step
 
 
-def _nn_direction_kernel(x_ref, y_ref, dist_ref, idx_ref, *, n: int, m: int):
-    """One batch element: for each x row, min/argmin of distance to all y."""
+def _nn_direction_kernel(x_ref, y_ref, dist_ref, idx_ref, *, n: int):
+    """One batch element: per x row, min + argmin of squared distance to y."""
     y = y_ref[...]  # (M, C)
     y_sq = jnp.sum(y * y, axis=-1)[None, :]  # (1, M)
     n_tiles = n // _TILE_N
@@ -33,42 +35,52 @@ def _nn_direction_kernel(x_ref, y_ref, dist_ref, idx_ref, *, n: int, m: int):
     def tile_body(t, _):
         x = x_ref[pl.ds(t * _TILE_N, _TILE_N), :]  # (T, C)
         x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (T, 1)
-        cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32)  # (T, M) on MXU
+        cross = jax.lax.dot_general(
+            x,
+            y,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (T, M)
         d = x_sq - 2.0 * cross + y_sq
-        dist_ref[pl.ds(t * _TILE_N, _TILE_N)] = jnp.min(d, axis=-1)
-        idx_ref[pl.ds(t * _TILE_N, _TILE_N)] = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        dist_ref[pl.ds(t * _TILE_N, _TILE_N), :] = jnp.min(d, axis=-1, keepdims=True)
+        idx_ref[pl.ds(t * _TILE_N, _TILE_N), :] = jnp.argmin(d, axis=-1)[:, None].astype(jnp.int32)
         return _
 
     jax.lax.fori_loop(0, n_tiles, tile_body, None)
 
 
 def _nn_direction(x: Array, y: Array) -> tuple[Array, Array]:
-    """dist (B, N), idx (B, N): nearest point of y for each x."""
+    """dist (B, N), idx (B, N): nearest point of y for each x point."""
     b, n, c = x.shape
     m = y.shape[1]
     pad_n = (-n) % _TILE_N
     if pad_n:
-        # pad with +inf-like far points: replicate first point (min unaffected rows dropped)
-        x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))  # padded rows dropped below
     np_ = x.shape[1]
-    kernel = functools.partial(_nn_direction_kernel, n=np_, m=m)
+    kernel = functools.partial(_nn_direction_kernel, n=np_)
     dist, idx = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, np_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, np_, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, np_, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, np_), jnp.float32),
-            jax.ShapeDtypeStruct((b, np_), jnp.int32),
+            jax.ShapeDtypeStruct((b, np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, np_, 1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * np_ * m * (2 * c + 3)),
+            bytes_accessed=int(b * (np_ + m) * c * 4 + b * np_ * 8),
+            transcendentals=0,
         ),
     )(x, y)
-    return dist[:, :n], idx[:, :n]
+    return dist[:, :n, 0], idx[:, :n, 0]
 
 
 def nn_distance_tpu(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
@@ -80,12 +92,7 @@ def nn_distance_tpu(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def chamfer_tpu(x: Array, y: Array, reduction: str = 'mean') -> Array:
-    """Chamfer distance per batch element using the fused Pallas NN kernel.
-
-    Forward matches :func:`pccf.kernels.ops.chamfer`; backward uses the
-    gathered-index analytic gradient (same semantics as the reference CUDA
-    ``NmDistanceGradKernel`` composed with the mean/sum reduction).
-    """
+    """Chamfer distance per batch element via the fused Pallas NN kernel."""
     d1, _, d2, _ = nn_distance_tpu(x, y)
     red = jnp.mean if reduction == 'mean' else jnp.sum
     return red(d1, axis=1) + red(d2, axis=1)
@@ -105,10 +112,9 @@ def _chamfer_bwd(reduction, res, g):
     g = g[:, None, None]
     ny = jnp.take_along_axis(y, i1[..., None], axis=1)  # (B, N, C) nearest y per x
     nx = jnp.take_along_axis(x, i2[..., None], axis=1)  # (B, M, C) nearest x per y
-    # direction 1: sum_i |x_i - y_{i1(i)}|^2
     gx1 = 2.0 * scale1 * (x - ny) * g
     gy2 = 2.0 * scale2 * (y - nx) * g
-    # scatter contributions back to the matched points
+    # scatter the matched-point contributions (XLA scatter-add)
     gy1 = jnp.zeros_like(y).at[jnp.arange(y.shape[0])[:, None], i1].add(-gx1)
     gx2 = jnp.zeros_like(x).at[jnp.arange(x.shape[0])[:, None], i2].add(-gy2)
     return gx1 + gx2, gy1 + gy2

@@ -77,7 +77,10 @@ def _emd_kernel(
     grad1_ref[...] = jnp.zeros((n, 3), jnp.float32)
     g2_acc[...] = jnp.zeros((m, 4), jnp.float32)
 
-    for level in APPROX_MATCH_LEVELS:
+    def level_body(li, _):
+        # level = -4^(7-li): li = 0..8 (approxmatch.cu:24-27)
+        level = -jnp.exp2(14.0 - 2.0 * li.astype(jnp.float32))
+
         # ---- phase 1: ratioL = remainL / (K @ remainR + 1e-9)
         def phase1(t, _):
             k = jnp.exp(level * dist_tile(t))  # (T, M)
@@ -135,6 +138,9 @@ def _emd_kernel(
             return _
 
         jax.lax.fori_loop(0, n_tiles, phase3, None)
+        return _
+
+    jax.lax.fori_loop(0, len(APPROX_MATCH_LEVELS), level_body, None)
 
     # grad2_l = x2_l * colsum_l - sum_k winv_kl x1_k
     grad2_ref[...] = x2 * g2_acc[:, 3:4] - g2_acc[:, 0:3]

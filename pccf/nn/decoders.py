@@ -1,0 +1,142 @@
+"""PCGen point-cloud decoder (reference src/module/decoders.py).
+
+TPU redesign notes:
+- The reference runs its 8 component groups as sequential Conv1d stacks
+  (decoders.py:78-90); here they are a single vmapped parameter stack so each
+  layer is one batched MXU matmul over all components at once.
+- The train/eval Gumbel/temperature attention switch is an explicit ``train``
+  flag (the reference switches on ``torch.is_inference_mode_enabled``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pccf.kernels import ops
+from pccf.nn.layers import DenseBlock, gumbel_softmax, temperature_softmax
+
+Array = jax.Array
+
+OUT_CHAN = 3
+
+
+class ComponentStack(nn.Module):
+    """The residual conv stack of one PCGen component, vmapped over components."""
+
+    conv_dims: tuple[int, ...]
+    act: Callable
+    act_name: str
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for i, f in enumerate(self.conv_dims):
+            x = DenseBlock(
+                f, act=self.act, act_name=self.act_name, residual=True, name=f'conv_{i}'
+            )(x, train)
+        return x
+
+
+class PCGenDecoder(nn.Module):
+    """Map per-point Gaussian samples through an MLP, join with the latent by
+    elementwise product, mix ``n_components`` parallel residual stacks with
+    (Gumbel-)softmax attention, optionally sharpen with graph filtering.
+    """
+
+    w_dim: int
+    sample_dim: int
+    n_components: int
+    map_dims: tuple[int, ...]
+    conv_dims: tuple[int, ...]
+    tau: float
+    act: Callable
+    act_name: str = 'ReLU'
+    filtering: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        w: Array,
+        n_output_points: int,
+        initial_sampling: Array | None = None,
+        train: bool = False,
+    ) -> Array:
+        batch = w.shape[0]
+        if initial_sampling is None:
+            rng = self.make_rng('sampling')
+            x = jax.random.normal(rng, (batch, n_output_points, self.sample_dim))
+        else:
+            x = initial_sampling  # (B, n_out, sample_dim)
+
+        # map the sampling to w_dim (ReLU stack + Hardtanh head, no BN)
+        for i, f in enumerate(self.map_dims):
+            x = DenseBlock(f, act=jax.nn.relu, act_name='ReLU', batch_norm=False, name=f'map_{i}')(x, train)
+        x = DenseBlock(
+            self.w_dim, act=jax.nn.hard_tanh, act_name='Hardtanh', batch_norm=False, name='map_out'
+        )(x, train)
+
+        # join with the latent: elementwise product (decoders.py:132-134)
+        x = w[:, None, :] * x  # (B, N, w_dim)
+
+        # parallel component stacks as one vmapped module
+        stack = nn.vmap(
+            ComponentStack,
+            in_axes=None,
+            out_axes=0,
+            axis_size=self.n_components,
+            variable_axes={'params': 0, 'batch_stats': 0},
+            split_rngs={'params': True},
+        )(self.conv_dims, self.act, self.act_name, name='components')
+        feats = stack(x, train)  # (G, B, N, conv_dims[-1])
+
+        head = nn.vmap(
+            DenseBlock,
+            in_axes=0,
+            out_axes=0,
+            axis_size=self.n_components,
+            variable_axes={'params': 0},
+            split_rngs={'params': True},
+        )(OUT_CHAN, act=None, batch_norm=False, soft_init=True, name='component_heads')
+        comps = head(feats, False)  # (G, B, N, 3)
+
+        if self.n_components > 1:
+            # attention over components from the concatenated stack features
+            att_in = jnp.concatenate(
+                [feats[g] for g in range(self.n_components)], axis=-1
+            )  # (B, N, G * conv_dims[-1])
+            att = DenseBlock(self.n_components, act=None, batch_norm=False, name='att')(att_in, train)
+            if train:
+                att = gumbel_softmax(self.make_rng('sampling'), att, self.tau, axis=-1)
+            else:
+                att = temperature_softmax(att, self.tau, axis=-1)
+            # (B, N, G) x (G, B, N, 3) -> (B, N, 3)
+            x = jnp.einsum('bng,gbnc->bnc', att, comps)
+        else:
+            x = comps[0]
+
+        if self.filtering:
+            x = ops.graph_filtering(x)
+        return x
+
+
+def get_decoder(cfg_ae_model) -> nn.Module:
+    """Factory matching the reference registry (decoders.py:137-142)."""
+    from pccf.config.options import Decoders
+
+    dec = cfg_ae_model.decoder
+    if dec.class_name != Decoders.PCGen:
+        raise ValueError(f'Unknown decoder {dec.class_name}')
+    return PCGenDecoder(
+        w_dim=cfg_ae_model.w_dim,
+        sample_dim=dec.sample_dim,
+        n_components=dec.n_components,
+        map_dims=tuple(dec.map_dims),
+        conv_dims=tuple(dec.conv_dims),
+        tau=dec.tau,
+        act=dec.act_cls,
+        act_name=dec.act_name,
+        filtering=dec.filter,
+    )

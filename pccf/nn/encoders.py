@@ -1,0 +1,118 @@
+"""Point-cloud encoders: DGCNN and LDGCNN (reference src/module/encoders.py).
+
+Channels-last redesign: each EdgeConv block is
+``knn -> gather -> concat(neigh - x, x) -> dense -> max over k``
+with the kNN distance matrix produced by one MXU matmul
+(:func:`pccf.kernels.ops.knn`); the dense is a feature-axis matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pccf.kernels import ops
+from pccf.nn.layers import DenseBlock
+
+Array = jax.Array
+
+IN_CHAN = 3
+OUT_CHAN = 3
+
+
+class EdgeConvBlock(nn.Module):
+    """EdgeConv: graph features -> dense(+BN+act) -> max over neighbours."""
+
+    features: int
+    k: int
+    act: Callable | None
+    act_name: str = ''
+
+    @nn.compact
+    def __call__(self, x: Array, idx: Array | None, train: bool = False) -> Array:
+        if idx is None:
+            idx = ops.knn(x, self.k)
+        feats = ops.edge_features(x, idx)  # (B, N, k, 2C)
+        feats = DenseBlock(self.features, act=self.act, act_name=self.act_name)(feats, train)
+        return jnp.max(feats, axis=2)  # (B, N, F)
+
+
+class DGCNNEncoder(nn.Module):
+    """Dynamic-graph CNN encoder (reference encoders.py:31-59).
+
+    Hard-coded block dims (64, 64, 128, 256) as in the reference; the graph is
+    recomputed in feature space before every block.
+    """
+
+    w_dim: int
+    n_neighbors: int
+    act: Callable
+    act_name: str = ''
+    h_dim: tuple[int, ...] = (64, 64, 128, 256)
+
+    @nn.compact
+    def __call__(self, cloud: Array, indices: Array | None = None, train: bool = False) -> Array:
+        x = cloud  # (B, N, 3)
+        xs = []
+        idx = indices
+        for i, f in enumerate(self.h_dim):
+            act = None if i == 0 else self.act  # first block has no activation
+            x = EdgeConvBlock(f, self.n_neighbors, act, self.act_name, name=f'edge_conv_{i}')(x, idx, train)
+            idx = None  # dynamic graph: re-compute kNN on new features
+            xs.append(x)
+        x = jnp.concatenate(xs, axis=-1)
+        x = DenseBlock(self.w_dim, act=None, batch_norm=False, name='final_conv')(x, train)
+        return jnp.max(x, axis=1)  # (B, w_dim)
+
+
+class LDGCNNEncoder(nn.Module):
+    """Lighter DGCNN: the graph is computed once on the input cloud
+    (reference encoders.py:62-91); subsequent blocks do graph-max-pooling
+    with the same indices.
+    """
+
+    w_dim: int
+    n_neighbors: int
+    conv_dims: tuple[int, ...]
+    act: Callable
+    act_name: str = ''
+
+    @nn.compact
+    def __call__(self, cloud: Array, indices: Array | None = None, train: bool = False) -> Array:
+        idx = indices if indices is not None else ops.knn(cloud, self.n_neighbors)
+        x = EdgeConvBlock(self.conv_dims[0], self.n_neighbors, None, '', name='edge_conv')(cloud, idx, train)
+        xs = [x]
+        for i, f in enumerate(self.conv_dims[1:]):
+            x = ops.graph_max_pool(x, idx)
+            x = DenseBlock(f, act=self.act, act_name=self.act_name, name=f'points_conv_{i}')(x, train)
+            xs.append(x)
+        x = jnp.concatenate(xs, axis=-1)
+        x = DenseBlock(self.w_dim, act=None, batch_norm=False, name='final_conv')(x, train)
+        return jnp.max(x, axis=1)
+
+
+def get_encoder(cfg_ae_model, act=None) -> nn.Module:
+    """Factory matching the reference registry (encoders.py:94-100)."""
+    from pccf.config.options import Encoders
+
+    enc_cfg = cfg_ae_model.encoder
+    act = act or enc_cfg.act_cls
+    if enc_cfg.class_name == Encoders.DGCNN:
+        return DGCNNEncoder(
+            w_dim=cfg_ae_model.w_dim,
+            n_neighbors=enc_cfg.n_neighbors,
+            act=act,
+            act_name=enc_cfg.act_name,
+        )
+    if enc_cfg.class_name == Encoders.LDGCNN:
+        return LDGCNNEncoder(
+            w_dim=cfg_ae_model.w_dim,
+            n_neighbors=enc_cfg.n_neighbors,
+            conv_dims=tuple(enc_cfg.conv_dims),
+            act=act,
+            act_name=enc_cfg.act_name,
+        )
+    raise ValueError(f'Unknown encoder {enc_cfg.class_name}')

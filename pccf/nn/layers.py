@@ -1,0 +1,199 @@
+"""Layer library (flax.linen, channels-last).
+
+JAX counterpart of the reference layer library (src/module/layers.py).  All
+1x1 "convolutions" are plain feature-axis matmuls (``DenseBlock``), which is
+the TPU-idiomatic form: the feature axis lands on the 128-lane dimension and
+the matmul on the MXU.  One block type covers the reference's
+``LinearLayer`` / ``PointsConvLayer`` / ``EdgeConvLayer`` (rank 2/3/4 inputs).
+
+Initialisation policy mirrors ``GeneralizedLinearLayer.get_init``
+(layers.py:130-149): kaiming-uniform for (leaky-)ReLU, xavier-normal for
+linear/tanh heads, gain-0.01 xavier for ``soft_init`` heads.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Act = Callable[[Array], Array]
+
+
+def default_act(x: Array) -> Array:
+    """LeakyReLU(0.2) — the reference DEFAULT_ACT (src/config/torch.py)."""
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+def get_kernel_init(act_name: str, soft_init: bool = False) -> nn.initializers.Initializer:
+    """Activation-dependent kernel init (reference layers.py:130-149)."""
+    if soft_init:
+        # xavier_normal gain=0.01 -> variance scale gain^2
+        return nn.initializers.variance_scaling(0.01**2, 'fan_avg', 'truncated_normal')
+    if act_name in ('', 'LeakyReLU'):
+        # kaiming_uniform with a=0.2: scale = 2 / (1 + a^2)
+        return nn.initializers.variance_scaling(2.0 / (1.0 + 0.2**2), 'fan_in', 'uniform')
+    if act_name == 'ReLU':
+        return nn.initializers.variance_scaling(2.0, 'fan_in', 'uniform')
+    if act_name in ('Hardtanh', 'Tanh'):
+        # xavier_normal with tanh gain 5/3
+        return nn.initializers.variance_scaling((5.0 / 3.0) ** 2, 'fan_avg', 'truncated_normal')
+    if act_name == 'linear':
+        return nn.initializers.variance_scaling(1.0, 'fan_avg', 'truncated_normal')
+    return nn.initializers.lecun_normal()
+
+
+class DenseBlock(nn.Module):
+    """dense (feature-axis matmul) + optional BatchNorm + activation + residual.
+
+    Args:
+        features: output feature count.
+        act: activation callable or None.
+        act_name: name used only for init selection (matches reference policy).
+        batch_norm: include BatchNorm over all non-feature axes (per-replica
+            statistics, matching DDP-default unsynced BN).
+        groups: grouped dense (input and output features split into groups).
+        residual: add input (repeat-interleaved to width) to the output
+            (reference layers.py:165-167).
+        soft_init: gain-0.01 xavier init for output heads.
+    """
+
+    features: int
+    act: Act | None = None
+    act_name: str = ''
+    batch_norm: bool = True
+    groups: int = 1
+    residual: bool = False
+    soft_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        init = get_kernel_init(self.act_name if self.act is not None else 'linear', self.soft_init)
+        use_bias = not self.batch_norm
+        in_features = x.shape[-1]
+        if self.groups == 1:
+            y = nn.Dense(self.features, use_bias=use_bias, kernel_init=init, name='dense')(x)
+        else:
+            if in_features % self.groups or self.features % self.groups:
+                raise ValueError('features not divisible by groups')
+            gin = in_features // self.groups
+            gout = self.features // self.groups
+            kernel = self.param('grouped_kernel', init, (self.groups, gin, gout))
+            xg = x.reshape(*x.shape[:-1], self.groups, gin)
+            y = jnp.einsum('...gi,gio->...go', xg, kernel)
+            if use_bias:
+                bias = self.param('grouped_bias', nn.initializers.zeros, (self.groups, gout))
+                y = y + bias
+            y = y.reshape(*x.shape[:-1], self.features)
+        if self.batch_norm:
+            # torch momentum 0.1 == flax momentum 0.9; normalise feature axis
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name='bn'
+            )(y)
+        if self.act is not None:
+            y = self.act(y)
+        if self.residual:
+            reps = self.features // in_features + 1
+            rep = jnp.repeat(x, reps, axis=-1)[..., : self.features]
+            y = y + rep
+        return y
+
+
+def temperature_softmax(x: Array, temperature: float, axis: int = -1) -> Array:
+    """Softmax of ``x / T`` (reference TemperatureScaledSoftmax, layers.py:206)."""
+    return jax.nn.softmax(x / temperature, axis=axis)
+
+
+def gumbel_softmax(rng: Array, logits: Array, tau: float, axis: int = -1) -> Array:
+    """Gumbel-softmax sample (matches torch.nn.functional.gumbel_softmax, soft)."""
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, logits.shape, minval=1e-20) + 1e-20) + 1e-20)
+    return jax.nn.softmax((logits + gumbel) / tau, axis=axis)
+
+
+class MLPHead(nn.Module):
+    """Dense stack with optional dropout between layers (classifier head)."""
+
+    dims: tuple[int, ...]
+    out_features: int
+    act: Act
+    act_name: str = ''
+    dropout_rates: tuple[float, ...] = ()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = DenseBlock(self.dims[0], act=self.act, act_name=self.act_name)(x, train)
+        rates = list(self.dropout_rates) + [0.0] * len(self.dims)
+        for i in range(1, len(self.dims)):
+            x = nn.Dropout(rate=rates[i - 1], deterministic=not train)(x)
+            x = DenseBlock(self.dims[i], act=self.act, act_name=self.act_name)(x, train)
+        return DenseBlock(self.out_features, act=None, batch_norm=False)(x, train)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm transformer encoder layer (torch ``norm_first=True`` semantics)."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    dropout: float
+    act: Act
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+        )(h, h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.d_ff)(h)
+        h = self.act(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return x + h
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Pre-norm transformer decoder layer with cross-attention memory."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    dropout: float
+    act: Act
+
+    @nn.compact
+    def __call__(self, x: Array, memory: Array, train: bool = False) -> Array:
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+        )(h, h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+        )(h, memory)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.d_ff)(h)
+        h = self.act(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return x + h
