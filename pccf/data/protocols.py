@@ -1,0 +1,58 @@
+"""Dataset protocols: partitions and split creators (reference src/data/protocols.py)."""
+
+from __future__ import annotations
+
+import abc
+import enum
+from typing import Any, ClassVar
+
+
+class Partitions(enum.Enum):
+    train = enum.auto()
+    train_val = enum.auto()
+    val = enum.auto()
+    test = enum.auto()
+
+
+class Singleton(type):
+    """One instance per class (reference protocols.py:30-38) — split creators
+    load raw data once per process."""
+
+    _instances: ClassVar[dict[type, Any]] = {}
+
+    def __call__(cls, *args, **kwargs):
+        if cls not in cls._instances:
+            cls._instances[cls] = super().__call__(*args, **kwargs)
+        return cls._instances[cls]
+
+    @classmethod
+    def reset_all(mcs) -> None:
+        mcs._instances = {}
+
+
+class AbstractSingleton(Singleton, abc.ABCMeta):
+    pass
+
+
+class PointCloudDataset(abc.ABC):
+    """Map-style dataset of (Inputs, Targets); supports an inference-mode
+    toggle replacing the reference's ``torch.is_inference_mode_enabled``
+    switch (modelnet.py:42)."""
+
+    inference: bool = False
+
+    def set_inference(self, inference: bool) -> None:
+        self.inference = inference
+
+    @abc.abstractmethod
+    def __len__(self) -> int: ...
+
+    @abc.abstractmethod
+    def __getitem__(self, index: int): ...
+
+
+class SplitCreator(abc.ABC, metaclass=AbstractSingleton):
+    """Loads a dataset once and produces partition views."""
+
+    @abc.abstractmethod
+    def split(self, split: Partitions) -> PointCloudDataset: ...

@@ -1,0 +1,242 @@
+"""Training hooks: scheduling combinators, early stopping, codebook upkeep.
+
+Native replacements for the drytorch hook surface used by the reference
+(train_autoencoder.py:48-81) plus the repo's own hooks (src/train/hooks.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from pccf.train.objectives import Objective
+from pccf.train.runners import Diagnostic, StopTraining, Trainer
+
+
+# --------------------------------------------------------------- combinators
+
+
+class Hook:
+    """Callable hook with ``bind`` combinators (drytorch Hook/StaticHook)."""
+
+    def __init__(self, fn: Callable[[Trainer], None]):
+        self.fn = fn
+
+    def __call__(self, trainer: Trainer) -> None:
+        self.fn(trainer)
+
+    def bind(self, wrapper: Callable[[Callable], Callable]) -> 'Hook':
+        return Hook(wrapper(self.fn))
+
+
+class StaticHook(Hook):
+    """Hook whose callable ignores the trainer (drytorch StaticHook)."""
+
+    def __init__(self, fn: Callable[[], None]):
+        super().__init__(lambda trainer: fn())
+
+
+def call_every(n: int) -> Callable[[Callable], Callable]:
+    """Run the wrapped hook only when ``trainer.model.epoch % n == 0``."""
+
+    def wrapper(fn: Callable) -> Callable:
+        def wrapped(trainer: Trainer) -> None:
+            if n and trainer.model.epoch % n == 0:
+                fn(trainer)
+
+        return wrapped
+
+    return wrapper
+
+
+saving_hook = Hook(lambda trainer: trainer.save_checkpoint())
+
+
+# ------------------------------------------------------------- metric filters
+
+
+def get_trailing_mean(window: int) -> Callable[[list[float]], float]:
+    """Mean of the last ``window`` values (drytorch get_trailing_mean)."""
+
+    def f(history: list[float]) -> float:
+        return float(np.mean(history[-window:])) if history else float('inf')
+
+    return f
+
+
+def get_moving_average(alpha: float = 0.9) -> Callable[[list[float]], float]:
+    """Exponential moving average over the history (drytorch get_moving_average)."""
+
+    def f(history: list[float]) -> float:
+        if not history:
+            return float('inf')
+        ema = history[0]
+        for v in history[1:]:
+            ema = alpha * ema + (1 - alpha) * v
+        return float(ema)
+
+    return f
+
+
+# ------------------------------------------------------------ early stopping
+
+
+class EarlyStoppingCallback:
+    """Stop when the smoothed validation metric stops improving
+    (drytorch EarlyStoppingCallback; wiring at train_classifier.py:40-42)."""
+
+    def __init__(
+        self,
+        metric: Objective,
+        filter_fn: Callable[[list[float]], float] | None = None,
+        patience: int = 10,
+        monitor: str | None = None,
+    ) -> None:
+        self.metric_name = monitor or metric.name
+        self.higher_is_better = metric.higher_is_better.get(self.metric_name, False)
+        self.filter_fn = filter_fn or (lambda h: h[-1])
+        self.patience = patience
+        self.best = float('inf')
+        self.stale = 0
+        self.history: list[float] = []
+
+    def __call__(self, trainer: Trainer) -> None:
+        log = trainer.validation_log or trainer.metrics_log
+        if not log:
+            return
+        value = log[-1].get(self.metric_name)
+        if value is None:
+            return
+        if self.higher_is_better:
+            value = -value
+        self.history.append(float(value))
+        smoothed = self.filter_fn(self.history)
+        if smoothed < self.best - 1e-12:
+            self.best = smoothed
+            self.stale = 0
+        else:
+            self.stale += 1
+            if self.stale >= self.patience:
+                raise StopTraining(f'early stop on {self.metric_name} after {self.stale} stale epochs')
+
+
+# -------------------------------------------------------- codebook optimiser
+
+
+class DiscreteSpaceOptimizer:
+    """Reassign unused VQ codebook entries (reference src/train/hooks.py:19-77).
+
+    Runs a Diagnostic pass with stored outputs, counts per-slot codebook usage
+    from the one-hot assignments, and rewrites unused rows to noisy copies of
+    used rows (noise scale ``vq_noise``); at the final epoch dead rows are
+    pushed to 1000 so they can never be selected.
+    """
+
+    def __init__(self, diagnostic: Diagnostic, trainer: Trainer, cfg) -> None:
+        self.diagnostic = diagnostic
+        self.trainer = trainer
+        self.vq_noise = cfg.autoencoder.model.vq_noise
+        self.book_size = cfg.autoencoder.model.book_size
+        self.n_codes = cfg.autoencoder.model.n_codes
+        self.final_epoch = cfg.autoencoder.train.n_epochs
+        self.rng = np.random.default_rng(cfg.user.seed or 0)
+
+    def __call__(self) -> None:
+        from pccf.dist import is_main_process
+
+        self.diagnostic.model = self.trainer.model
+        self.diagnostic(store_outputs=True)
+        if not is_main_process():
+            return
+        usage = np.zeros((self.n_codes, self.book_size), dtype=np.int64)
+        for out in self.diagnostic.outputs_list:
+            usage += np.asarray(out.one_hot_idx).sum(axis=0).astype(np.int64)
+        unused = usage == 0
+        if not unused.any():
+            return
+        variables = jax.device_get(self.trainer.model.variables)
+        codebook = np.array(variables['params']['codebook'])
+        at_final = self.trainer.model.epoch == self.final_epoch
+        for slot in range(self.n_codes):
+            probs = usage[slot].astype(np.float64)
+            total = probs.sum()
+            if total == 0:
+                continue
+            probs = probs / total
+            for entry in range(self.book_size):
+                if not unused[slot, entry]:
+                    continue
+                if at_final:
+                    codebook[slot, entry] = 1000.0
+                else:
+                    template = codebook[slot, self.rng.choice(self.book_size, p=probs)]
+                    noise = self.vq_noise * self.rng.standard_normal(codebook.shape[-1])
+                    codebook[slot, entry] = template + noise.astype(codebook.dtype)
+        variables['params']['codebook'] = jax.numpy.asarray(codebook)
+        self.trainer.update_variables_from(variables)
+
+
+# ------------------------------------------------------- reconstruction logs
+
+
+class TensorBoardLogReconstruction:
+    """Log sample reconstructions as 3D meshes (reference hooks.py:122-162)."""
+
+    def __init__(self, dataset: Any, num_samples: int = 1):
+        from pccf.train.trackers import TensorBoardTracker
+
+        self._dataset = dataset
+        self._num = num_samples
+        self.writer = TensorBoardTracker.require_current().writer
+        for i in range(num_samples):
+            inputs, targets = dataset[i]
+            self.writer.add_mesh(
+                f'Sample {i} with label: {int(targets.label)}',
+                vertices=np.asarray(inputs.cloud)[None],
+                global_step=0,
+            )
+
+    def __call__(self, trainer: Trainer) -> None:
+        from pccf.data.structures import Inputs
+        from pccf.dist import get_mesh, shard_batch
+
+        items = [self._dataset[i] for i in range(self._num)]
+        cloud = np.stack([np.asarray(it[0].cloud) for it in items])
+        inputs = shard_batch(Inputs(cloud=cloud), get_mesh())
+        outputs = trainer.model(inputs, train=False, rng=jax.random.key(7))
+        recons = np.asarray(jax.device_get(outputs.recon))
+        for i, recon in enumerate(recons):
+            self.writer.add_mesh(f'Recon {i}', vertices=recon[None], global_step=trainer.model.epoch)
+
+
+class WandbLogReconstruction:
+    """Wandb variant (reference hooks.py:80-119); requires the wandb tracker."""
+
+    def __init__(self, dataset: Any, num_samples: int = 1):
+        import wandb  # noqa: F401  (gated: raises if unavailable)
+
+        from pccf.train.trackers import WandbTracker
+
+        self._dataset = dataset
+        self._num = num_samples
+        self.run = WandbTracker.require_current().run
+        import wandb
+
+        for i in range(num_samples):
+            inputs, targets = dataset[i]
+            self.run.log({f'Sample {i} with label: {int(targets.label)}': wandb.Object3D(np.asarray(inputs.cloud))})
+
+    def __call__(self, trainer: Trainer) -> None:
+        import wandb
+
+        from pccf.data.structures import Inputs
+        from pccf.dist import get_mesh, shard_batch
+
+        items = [self._dataset[i] for i in range(self._num)]
+        cloud = np.stack([np.asarray(it[0].cloud) for it in items])
+        inputs = shard_batch(Inputs(cloud=cloud), get_mesh())
+        outputs = trainer.model(inputs, train=False, rng=jax.random.key(7))
+        for i, recon in enumerate(np.asarray(jax.device_get(outputs.recon))):
+            self.run.log({f'Recon {i}': wandb.Object3D(recon)})

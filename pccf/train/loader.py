@@ -1,0 +1,92 @@
+"""Batching data loader for numpy-backed point-cloud datasets.
+
+Native replacement for the drytorch ``DataLoader`` surface used by the
+reference (train_autoencoder.py:34-39).  Datasets expose ``__len__`` plus
+either ``__getitem__`` (per sample) or ``__getitems__`` (batched, used by the
+derived datasets in :mod:`pccf.data.processed`).  Batches are stacked numpy
+structures ready for ``jax.device_put`` by the runner.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+
+from pccf.data.structures import Inputs, Targets
+
+
+def _stack(items: list[Any]) -> Any:
+    """Stack a list of same-type (named)tuples / arrays / Nones leaf-wise."""
+    first = items[0]
+    if first is None:
+        return None
+    if isinstance(first, tuple) and hasattr(first, '_fields'):
+        return type(first)(*(_stack([getattr(it, f) for it in items]) for f in first._fields))
+    if np.isscalar(first) or (isinstance(first, np.ndarray) and first.ndim == 0):
+        return np.asarray(items)
+    return np.stack([np.asarray(it) for it in items])
+
+
+class DataLoader:
+    """Deterministic, seedable batching over a map-style dataset.
+
+    Args:
+        dataset: sized dataset returning ``(Inputs, Targets)``-like tuples.
+        batch_size: per-host batch size (the global batch under pjit).
+        n_workers: accepted for API parity; loading is in-process (the
+            reference default is likewise 0, user_settings.yaml:7).
+        drop_last: drop the trailing partial batch (defaults True for
+            training iterators to keep jit shapes static).
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        n_workers: int = 0,
+        pin_memory: bool = False,
+        seed: int = 0,
+    ) -> None:
+        del n_workers, pin_memory
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return max(1, len(self.dataset) // self.batch_size)
+
+    def n_batches(self, inference: bool = False) -> int:
+        n = len(self.dataset)
+        if inference:
+            return (n + self.batch_size - 1) // self.batch_size
+        return max(1, n // self.batch_size)
+
+    def _fetch(self, idx_list: list[int], inference: bool) -> tuple[Any, Any]:
+        getitems = getattr(self.dataset, '__getitems__', None)
+        if getitems is not None:
+            items = getitems(idx_list)
+        else:
+            if hasattr(self.dataset, 'set_inference'):
+                self.dataset.set_inference(inference)
+            items = [self.dataset[i] for i in idx_list]
+        inputs = _stack([it[0] for it in items])
+        targets = _stack([it[1] for it in items])
+        return inputs, targets
+
+    def epoch_iterator(self, epoch: int, shuffle: bool = True) -> Iterator[tuple[Inputs, Targets]]:
+        """Training iterator: shuffled by (seed, epoch), drops the tail."""
+        n = len(self.dataset)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        for b in range(n // self.batch_size):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            yield self._fetch(list(map(int, idx)), inference=False)
+
+    def get_loader(self, inference: bool = True) -> Iterator[tuple[Inputs, Targets]]:
+        """Evaluation iterator: sequential, includes the trailing partial batch."""
+        n = len(self.dataset)
+        for b in range(0, n, self.batch_size):
+            idx = list(range(b, min(b + self.batch_size, n)))
+            yield self._fetch(idx, inference=inference)

@@ -1,0 +1,341 @@
+"""Training / evaluation runners: Trainer, Test, Diagnostic.
+
+Native replacement for the drytorch runner surface the reference builds on
+(train_autoencoder.py:42-44, train_classifier.py:33-49): a ``Trainer`` with
+``train_until`` / ``add_validation`` / ``post_epoch_hooks`` /
+``save_checkpoint``; ``Test`` with ``store_outputs`` and a merged metric
+state; ``Diagnostic`` for model-in-eval passes over the training set.
+
+TPU design: one jitted train step per (model, loss); the global batch is
+sharded over the ``dp`` mesh axis, parameters are replicated, and gradient
+averaging is the GSPMD collective inserted by XLA.  The LR schedule is a pure
+function of the step counter, so the whole epoch loop never leaves device
+except for data feeding and metric logging.
+
+Note on BatchNorm: statistics are computed over the *global* batch (GSPMD
+semantics), not per-replica as in the reference's DDP default — documented
+deviation; all configs here use small per-device batches where global stats
+are the better estimator.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pccf.config.experiment import Experiment
+from pccf.data.structures import Outputs
+from pccf.dist import get_mesh, replicate, shard_batch
+from pccf.train.grad_ops import get_grad_op
+from pccf.train.loader import DataLoader
+from pccf.train.model import Model
+from pccf.train.objectives import Objective
+from pccf.train.schedulers import LearningSchema
+
+Array = jax.Array
+
+
+class ConvergenceError(RuntimeError):
+    """Loss diverged (drytorch parity; caught and imputed by tuning)."""
+
+
+class StopTraining(Exception):
+    """Raised by hooks (early stopping) to end the epoch loop."""
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+def _inject_epoch(outputs: Any, epoch: Array) -> Any:
+    if isinstance(outputs, Outputs):
+        return outputs.replace(model_epoch=epoch)
+    return outputs
+
+
+class _Runner:
+    """Shared eval machinery."""
+
+    def __init__(self, model: Model, loader: DataLoader, objective: Objective, name: str = ''):
+        self.model = model
+        self.loader = loader
+        self.objective = objective.copy()
+        self.name = name or type(self).__name__
+        self.mesh = get_mesh()
+        self.outputs_list: list[Any] = []
+        self._eval_fn = None
+
+    def _build_eval(self):
+        module = self.model.module
+        objective = self.objective
+        has_stats = self.model.batch_stats is not None
+
+        def eval_step(variables, inputs, targets, rng, epoch):
+            rngs = {'sampling': rng, 'dropout': jax.random.fold_in(rng, 1)}
+            outputs = module.apply(variables, inputs, train=False, rngs=rngs)
+            outputs = _inject_epoch(outputs, epoch)
+            _, metrics = objective.loss_and_metrics(outputs, targets)
+            return metrics, outputs
+
+        del has_stats
+        return jax.jit(eval_step)
+
+    def __call__(self, store_outputs: bool = False) -> dict[str, float]:
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval()
+        self.objective.reset_state()
+        self.outputs_list = []
+        rng = jax.random.key(self.model.seed + 17)
+        epoch = jnp.asarray(self.model.epoch, jnp.float32)
+        for i, (inputs, targets) in enumerate(self.loader.get_loader(inference=True)):
+            count = len(jax.tree.leaves(inputs)[0])
+            binputs = shard_batch(inputs, self.mesh)
+            btargets = shard_batch(targets, self.mesh)
+            metrics, outputs = self._eval_fn(
+                self.model.variables, binputs, btargets, jax.random.fold_in(rng, i), epoch
+            )
+            self.objective.update_state(jax.device_get(metrics), count)
+            if store_outputs:
+                self.outputs_list.append(jax.device_get(outputs))
+        results = self.objective.compute_metrics()
+        self._log(results)
+        return results
+
+    def _log(self, metrics: dict[str, float]) -> None:
+        try:
+            exp = Experiment.current()
+        except RuntimeError:
+            return
+        for tracker in exp.trackers:
+            log = getattr(tracker, 'log_metrics', None)
+            if log:
+                log(model=self.model.name, source=self.name, epoch=self.model.epoch, metrics=metrics)
+
+
+class Test(_Runner):
+    """Evaluation runner with metric aggregation (drytorch ``Test``)."""
+
+    def __init__(self, model: Model, loader: DataLoader, metric: Objective, name: str = 'Test'):
+        super().__init__(model, loader, metric, name)
+
+    @property
+    def objective_state(self) -> Objective:
+        return self.objective
+
+
+class Diagnostic(_Runner):
+    """Eval-mode pass over the training set (drytorch ``Diagnostic``) —
+    feeds the codebook-usage hook (src/train/hooks.py:48-57)."""
+
+    def __init__(self, model: Model, loader: DataLoader, objective: Objective, name: str = 'Diagnostic'):
+        super().__init__(model, loader, objective, name)
+
+
+class Trainer:
+    """Epoch-loop trainer with validation, hooks and checkpointing."""
+
+    def __init__(
+        self,
+        model: Model,
+        loader: DataLoader,
+        loss: Objective,
+        learning_schema: LearningSchema,
+    ) -> None:
+        self.model = model
+        self.loader = loader
+        self.objective = loss.copy()
+        self.schema = learning_schema
+        self.mesh = get_mesh()
+        self.post_epoch_hooks = _HookRegistry()
+        self.validation: _Runner | None = None
+        self.metrics_log: list[dict[str, float]] = []
+        self.validation_log: list[dict[str, float]] = []
+        self._train_fn = None
+        self._state: TrainState | None = None
+        self._tx = None
+
+    # ------------------------------------------------------------ plumbing
+    def _steps_per_epoch(self) -> int:
+        return self.loader.n_batches(inference=False)
+
+    def _make_tx(self) -> optax.GradientTransformation:
+        steps = self._steps_per_epoch()
+        schema = self.schema
+
+        def lr_schedule(step):
+            # epoch-resolution schedule evaluated per optimizer step
+            epoch = step // steps
+            return schema.base_lr * _traced_schedule(schema.schedule, epoch)
+
+        opt = schema.optimizer_factory(lr_schedule, **schema.opt_settings)
+        grad_op = get_grad_op(schema.gradient_op_name, schema.clip_criterion)
+        return optax.chain(grad_op, opt)
+
+    def _ensure_state(self) -> TrainState:
+        if self._state is None:
+            self._tx = self._make_tx()
+            params = self.model.params
+            opt_state = self._tx.init(params)
+            batch_stats = self.model.batch_stats
+            state = TrainState(
+                params=params,
+                batch_stats=batch_stats if batch_stats is not None else {},
+                opt_state=opt_state,
+                step=jnp.asarray(self.model.epoch * self._steps_per_epoch(), jnp.int32),
+            )
+            self._state = replicate(state, self.mesh)
+        return self._state
+
+    def _build_train_step(self):
+        module = self.model.module
+        objective = self.objective
+        tx = self._tx
+        has_stats = self.model.batch_stats is not None and bool(
+            jax.tree.leaves(self.model.batch_stats)
+        )
+
+        def train_step(state: TrainState, inputs, targets, rng, epoch):
+            rngs = {'sampling': rng, 'dropout': jax.random.fold_in(rng, 1)}
+
+            def loss_fn(params):
+                variables = {'params': params}
+                if has_stats:
+                    variables['batch_stats'] = state.batch_stats
+                    outputs, updates = module.apply(
+                        variables, inputs, train=True, rngs=rngs, mutable=['batch_stats']
+                    )
+                    new_stats = updates['batch_stats']
+                else:
+                    outputs = module.apply(variables, inputs, train=True, rngs=rngs)
+                    new_stats = state.batch_stats
+                outputs = _inject_epoch(outputs, epoch)
+                loss, metrics = objective.loss_and_metrics(outputs, targets)
+                return loss, (new_stats, metrics)
+
+            (loss, (new_stats, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------- training
+    def train_until(self, n_epochs: int) -> None:
+        """Train from the model's current epoch up to ``n_epochs``."""
+        state = self._ensure_state()
+        if self._train_fn is None:
+            self._train_fn = self._build_train_step()
+        base_rng = jax.random.key(self.model.seed + 1000)
+        try:
+            for epoch in range(self.model.epoch + 1, n_epochs + 1):
+                t0 = time.time()
+                epoch_arr = jnp.asarray(epoch, jnp.float32)
+                self.objective.reset_state()
+                for i, (inputs, targets) in enumerate(self.loader.epoch_iterator(epoch)):
+                    rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
+                    binputs = shard_batch(inputs, self.mesh)
+                    btargets = shard_batch(targets, self.mesh)
+                    state, metrics = self._train_fn(state, binputs, btargets, rng, epoch_arr)
+                    self.objective.update_state(jax.device_get(metrics), 1)
+                self._state = state
+                self.model.epoch = epoch
+                self._sync_model(state)
+                epoch_metrics = self.objective.compute_metrics()
+                epoch_metrics['lr'] = self.schema.lr_at(epoch)
+                epoch_metrics['epoch_time_s'] = time.time() - t0
+                self.metrics_log.append(epoch_metrics)
+                self._check_convergence(epoch_metrics)
+                self._log(epoch_metrics, source='Train')
+                if self.validation is not None:
+                    self.validation.model = self.model
+                    val_metrics = self.validation()
+                    self.validation_log.append(val_metrics)
+                try:
+                    self.post_epoch_hooks.run(self)
+                except StopTraining:
+                    break
+        finally:
+            if self._state is not None:
+                self._sync_model(self._state)
+
+    def _sync_model(self, state: TrainState) -> None:
+        variables = {'params': state.params}
+        if state.batch_stats is not None and jax.tree.leaves(state.batch_stats):
+            variables['batch_stats'] = state.batch_stats
+        elif self.model.batch_stats is not None:
+            variables['batch_stats'] = self.model.batch_stats
+        self.model.variables = variables
+
+    def _check_convergence(self, metrics: dict[str, float]) -> None:
+        loss_name = self.objective.name
+        value = metrics.get(loss_name)
+        if value is not None and not np.isfinite(value):
+            raise ConvergenceError(f'{loss_name} diverged: {value}')
+
+    # ------------------------------------------------------------- features
+    def add_validation(self, loader: DataLoader) -> None:
+        self.validation = Test(self.model, loader, self.objective, name='Validation')
+
+    def save_checkpoint(self) -> None:
+        self.model.save_state()
+
+    def load_checkpoint(self, checkpoint: int = -1) -> None:
+        self.model.load_state(checkpoint)
+        self._state = None  # rebuilt (optimizer state restarts) on next train
+
+    def update_variables_from(self, variables: dict) -> None:
+        """Replace live training params (codebook hook writes)."""
+        state = self._ensure_state()
+        self._state = TrainState(
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', state.batch_stats),
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+        self.model.variables = variables
+
+    def _log(self, metrics: dict[str, float], source: str) -> None:
+        try:
+            exp = Experiment.current()
+        except RuntimeError:
+            return
+        for tracker in exp.trackers:
+            log = getattr(tracker, 'log_metrics', None)
+            if log:
+                log(model=self.model.name, source=source, epoch=self.model.epoch, metrics=metrics)
+
+
+def _traced_schedule(schedule: Callable[[float], float], epoch) -> Any:
+    """Evaluate a host schedule under trace by tabulating it.
+
+    LR schedules are pure host functions of the epoch; under jit the step
+    counter is traced, so we tabulate the schedule over epochs once and index.
+    """
+    # tabulate 0..4095 epochs (covers every reference config)
+    import numpy as _np
+
+    table = jnp.asarray(_np.asarray([schedule(e) for e in range(4096)], dtype=_np.float32))
+    return table[jnp.clip(epoch, 0, 4095)]
+
+
+class _HookRegistry:
+    def __init__(self) -> None:
+        self._hooks: list[Callable] = []
+
+    def register(self, hook: Callable) -> None:
+        self._hooks.append(hook)
+
+    def run(self, trainer: Trainer) -> None:
+        for hook in self._hooks:
+            hook(trainer)
