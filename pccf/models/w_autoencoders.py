@@ -169,6 +169,23 @@ class WAutoEncoder(nn.Module):
         return jnp.concatenate([x, self.pseudo_inputs], axis=0)
 
 
+class WAETrainModule(nn.Module):
+    """Stage-2 training shell: the inner CVAE with the frozen codebook held
+    in a non-trained ``constants`` collection (the reference copies the
+    codebook into a non-persistent buffer, train_w_autoencoder.py:37)."""
+
+    wae: WAutoEncoder
+
+    @nn.compact
+    def __call__(self, inputs: WInputs, train: bool = False) -> Outputs:
+        codebook = self.variable(
+            'constants',
+            'codebook',
+            lambda: jnp.zeros((self.wae.n_codes, self.wae.book_size, self.wae.embedding_dim)),
+        )
+        return self.wae(inputs, codebook.value, train)
+
+
 def get_w_autoencoder(cfg, conditional: bool = True) -> WAutoEncoder:
     """Build the inner CVAE from the full AllConfig."""
     from pccf.nn.w_networks import (

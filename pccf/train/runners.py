@@ -95,12 +95,14 @@ class _Runner:
         self.outputs_list = []
         rng = jax.random.key(self.model.seed + 17)
         epoch = jnp.asarray(self.model.epoch, jnp.float32)
+        # uniform replicated placement (no-op when already replicated)
+        variables = replicate(self.model.variables, self.mesh)
         for i, (inputs, targets) in enumerate(self.loader.get_loader(inference=True)):
             count = len(jax.tree.leaves(inputs)[0])
             binputs = shard_batch(inputs, self.mesh)
             btargets = shard_batch(targets, self.mesh)
             metrics, outputs = self._eval_fn(
-                self.model.variables, binputs, btargets, jax.random.fold_in(rng, i), epoch
+                variables, binputs, btargets, jax.random.fold_in(rng, i), epoch
             )
             self.objective.update_state(jax.device_get(metrics), count)
             if store_outputs:
@@ -201,12 +203,17 @@ class Trainer:
         has_stats = self.model.batch_stats is not None and bool(
             jax.tree.leaves(self.model.batch_stats)
         )
+        # non-trained collections (e.g. the frozen codebook constant in the
+        # stage-2 W-AE shell) ride along as compile-time constants
+        extra = {
+            k: v for k, v in self.model.variables.items() if k not in ('params', 'batch_stats')
+        }
 
         def train_step(state: TrainState, inputs, targets, rng, epoch):
             rngs = {'sampling': rng, 'dropout': jax.random.fold_in(rng, 1)}
 
             def loss_fn(params):
-                variables = {'params': params}
+                variables = {'params': params, **extra}
                 if has_stats:
                     variables['batch_stats'] = state.batch_stats
                     outputs, updates = module.apply(
@@ -270,7 +277,10 @@ class Trainer:
                 self._sync_model(self._state)
 
     def _sync_model(self, state: TrainState) -> None:
-        variables = {'params': state.params}
+        variables = {
+            k: v for k, v in self.model.variables.items() if k not in ('params', 'batch_stats')
+        }
+        variables['params'] = state.params
         if state.batch_stats is not None and jax.tree.leaves(state.batch_stats):
             variables['batch_stats'] = state.batch_stats
         elif self.model.batch_stats is not None:

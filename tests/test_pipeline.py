@@ -1,0 +1,108 @@
+"""Full-pipeline integration test on synthetic data (tiny shapes, CPU mesh).
+
+Mirrors run.sh: train_classifier -> train_autoencoder -> train_w_autoencoder
+-> evaluate_counterfactuals, plus generation — end to end through
+checkpoints and the derived-dataset machinery.
+"""
+
+import numpy as np
+import pytest
+
+from pccf.config import Experiment, get_config_all
+from pccf.data.protocols import Singleton
+
+TINY = [
+    'data/dataset=synthetic',
+    'data.dataset.n_classes=2',
+    'data.dataset.settings.n_train=12',
+    'data.dataset.settings.n_test=6',
+    'data.dataset.settings.base_points=96',
+    'data.n_input_points=64',
+    'data.n_target_points=64',
+    'data.n_neighbors=6',
+    'classifier.model.n_neighbors=6',
+    'classifier.model.conv_dims=[8,8]',
+    'classifier.model.mlp_dims=[16,16]',
+    'classifier.model.feature_dim=16',
+    'classifier.train.batch_size=4',
+    'classifier.train.n_epochs=1',
+    'classifier.train.early_stopping.active=false',
+    'autoencoder.model.w_dim=32',
+    'autoencoder.model.embedding_dim=4',
+    'autoencoder.model.book_size=4',
+    'autoencoder.model.encoder.n_neighbors=6',
+    'autoencoder.model.decoder.map_dims=[8]',
+    'autoencoder.model.decoder.conv_dims=[16,8]',
+    'autoencoder.model.decoder.n_components=2',
+    'autoencoder.model.decoder.sample_dim=4',
+    'autoencoder.objective.recon_loss=Chamfer',
+    'autoencoder.train.batch_size=4',
+    'autoencoder.train.n_epochs=2',
+    'autoencoder.diagnose_every=2',
+    'w_autoencoder.model.w_encoder.proj_dim=16',
+    'w_autoencoder.model.w_encoder.n_heads=2',
+    'w_autoencoder.model.w_encoder.mlp_dims=[16]',
+    'w_autoencoder.model.w_decoder.proj_dim=16',
+    'w_autoencoder.model.w_decoder.n_heads=2',
+    'w_autoencoder.model.w_decoder.mlp_dims=[16]',
+    'w_autoencoder.model.conditional_w_encoder.proj_dim=16',
+    'w_autoencoder.model.conditional_w_encoder.n_heads=2',
+    'w_autoencoder.model.conditional_w_encoder.mlp_dims=[16]',
+    'w_autoencoder.model.z1_dim=4',
+    'w_autoencoder.model.z2_dim=4',
+    'w_autoencoder.train.batch_size=4',
+    'w_autoencoder.train.n_epochs=1',
+    'user.seed=0',
+    'user.trackers.tensorboard=false',
+    'user.checkpoint_every=0',
+    'user.generate.batch_size=2',
+    'user.plot.sample_indices=[0,1]',
+]
+
+
+@pytest.fixture(scope='module')
+def cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('pipeline')
+    import os
+
+    os.environ['ROOT_EXP_DIR'] = str(tmp / 'exp')
+    os.environ['DATASET_DIR'] = str(tmp / 'data')
+    Singleton.reset_all()
+    return get_config_all(TINY)
+
+
+@pytest.fixture(scope='module')
+def experiment(cfg):
+    from pccf.train import get_trackers
+
+    exp = Experiment(cfg, name='pipeline-test')
+    for tracker in get_trackers(cfg):
+        exp.subscribe(tracker)
+    return exp
+
+
+def test_full_pipeline(cfg, experiment):
+    from train_classifier import train_classifier
+    from train_autoencoder import train_autoencoder
+    from train_w_autoencoder import load_models, train_w_autoencoder
+    from evaluate_counterfactuals import evaluate_counterfactuals
+    from generate import generate_random_samples
+
+    with experiment.create_run():
+        # stage 0: classifier
+        train_classifier()
+        # stage 1: VQ-VAE autoencoder
+        chamfer = train_autoencoder()
+        assert chamfer is not None and np.isfinite(chamfer)
+        # stage 2: inner CVAE
+        classifier, vqvae = load_models(cfg)
+        loss = train_w_autoencoder(cfg, vqvae, classifier)
+        assert loss is not None and np.isfinite(loss)
+        vqvae.save_state()
+        # evaluation suites
+        metrics = evaluate_counterfactuals(cfg, classifier, vqvae)
+        assert 'Accuracy' in metrics
+        # unconditional generation
+        clouds = generate_random_samples(cfg)
+        assert clouds.shape == (2, 64, 3)
+        assert np.isfinite(clouds).all()
