@@ -1,0 +1,135 @@
+"""Benchmark: Chamfer/EMD pairs/sec/chip @ 2048 pts + counterfactual throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric (BASELINE.json): combined Chamfer+ApproxMatch-EMD loss
+forward+backward at 2048 points — the reference autoencoder's hot loss path.
+``vs_baseline`` is measured throughput relative to the documented A100
+estimate for the reference CUDA kernels (BASELINE.md: ~2000 pairs/s fwd+bwd;
+the reference repo publishes no numbers).
+
+Timing methodology: K iterations chained through a data dependency inside one
+jitted ``lax.scan``, so the measurement is pure on-device time (the remote-TPU
+tunnel dispatches asynchronously, making open-loop host timing meaningless).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_EST_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
+
+
+def _scan_time(step_fn, init_carry, iters: int) -> float:
+    """Seconds per iteration of ``step_fn`` chained on device."""
+    import jax
+
+    @jax.jit
+    def loop(carry):
+        def body(c, _):
+            return step_fn(c), None
+
+        out, _ = jax.lax.scan(body, carry, None, length=iters)
+        return out
+
+    out = loop(init_carry)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = loop(init_carry)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def bench_loss_kernels(batch=8, n=2048, iters=30):
+    import jax
+    import jax.numpy as jnp
+
+    from pccf.kernels import api as kapi
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, n, 3)).astype(np.float32) / 2)
+    y = jnp.asarray(rng.standard_normal((batch, n, 3)).astype(np.float32) / 2)
+
+    def make_step(loss_fn):
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
+
+        def step(carry):
+            cx, cy = carry
+            v, (gx, gy) = grad_fn(cx, cy)
+            # data dependency that cannot be folded away but leaves values intact
+            return cx + 1e-30 * gx + 0.0 * v, cy + 1e-30 * gy
+
+        return step
+
+    results = {}
+    for name, loss in [
+        ('chamfer_emd', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.match_cost(a, b))),
+        ('chamfer', lambda a, b: jnp.sum(kapi.chamfer(a, b))),
+        ('emd', lambda a, b: jnp.sum(kapi.match_cost(a, b))),
+    ]:
+        dt = _scan_time(make_step(loss), (x, y), iters)
+        results[f'{name}_pairs_per_s'] = batch / dt
+        results[f'{name}_ms_per_batch'] = dt * 1e3
+    return results
+
+
+def bench_counterfactual(batch=16, n=2048, iters=10):
+    """Full counterfactual decode (encode -> interpolate -> decode) at the
+    reference flagship shapes: w_dim 1024 = 256 codes x 4, transformer 512."""
+    import jax
+
+    from pccf.config import get_config_all
+    from pccf.data.structures import Inputs
+    from pccf.models import get_autoencoder
+
+    cfg = get_config_all(
+        [
+            'data/dataset=synthetic',
+            'data.dataset.n_classes=2',
+            f'data.n_input_points={n}',
+            f'data.n_target_points={n}',
+        ]
+    )
+    model = get_autoencoder(cfg)
+    rng = np.random.default_rng(0)
+    cloud = rng.standard_normal((batch, n, 3)).astype(np.float32) / 2
+    inputs = Inputs(cloud=cloud)
+    logits = rng.standard_normal((batch, 2)).astype(np.float32)
+    rngs = {'params': jax.random.key(0), 'sampling': jax.random.key(1), 'dropout': jax.random.key(2)}
+    variables = model.init(rngs, inputs, logits, method='full_init')
+
+    def step(carry):
+        cloud_c, logits_c = carry
+        recon = model.apply(
+            variables, Inputs(cloud=cloud_c), logits_c, 1, 1.0,
+            method='generate_counterfactual', rngs={'sampling': jax.random.key(3)},
+        ).recon
+        return cloud_c + 1e-30 * recon, logits_c
+
+    dt = _scan_time(step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), iters)
+    return {'counterfactual_samples_per_s': batch / dt, 'counterfactual_batch_ms': dt * 1e3}
+
+
+def main() -> None:
+    results = bench_loss_kernels()
+    try:
+        results.update(bench_counterfactual())
+    except Exception as e:  # keep the headline metric even if the model bench fails
+        results['counterfactual_error'] = str(e)[:200]
+    value = results['chamfer_emd_pairs_per_s']
+    line = {
+        'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
+        'value': round(value, 1),
+        'unit': 'pairs/s',
+        'vs_baseline': round(value / A100_EST_PAIRS_PER_S, 3),
+        **{k: round(v, 2) if isinstance(v, float) else v for k, v in results.items()},
+    }
+    print(json.dumps(line))
+
+
+if __name__ == '__main__':
+    main()

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_TILE_N = 256  # rows of the distance tile computed per inner step
+_TILE_N = 128  # rows of the distance tile computed per inner step
 
 
 def _nn_direction_kernel(x_ref, y_ref, dist_ref, idx_ref, *, n: int):

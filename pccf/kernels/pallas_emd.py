@@ -31,7 +31,7 @@ from pccf.kernels.ops import APPROX_MATCH_LEVELS
 
 Array = jax.Array
 
-_TILE = 256  # x1 rows per inner step; (TILE, M) f32 tile stays ~2 MB in VMEM
+_TILE = 128  # x1 rows per inner step; (TILE, M) f32 temporaries stay ~1 MB in VMEM
 
 
 def _emd_kernel(
@@ -81,27 +81,21 @@ def _emd_kernel(
         # level = -4^(7-li): li = 0..8 (approxmatch.cu:24-27)
         level = -jnp.exp2(14.0 - 2.0 * li.astype(jnp.float32))
 
-        # ---- phase 1: ratioL = remainL / (K @ remainR + 1e-9)
-        def phase1(t, _):
-            k = jnp.exp(level * dist_tile(t))  # (T, M)
-            suml = jnp.sum(k * remain_r[...], axis=1, keepdims=True)  # (T, 1)
-            ratio_l[pl.ds(t * _TILE, _TILE), :] = (
-                remain_l[pl.ds(t * _TILE, _TILE), :] / (suml + 1e-9)
-            )
-            return _
-
-        jax.lax.fori_loop(0, n_tiles, phase1, None)
-
-        # ---- phase 2: demand = (K^T @ ratioL) * remainR; capacity clamp
+        # ---- fused phases 1+2: the per-tile ratioL only needs the tile's own
+        # kernel rows, so the column-demand accumulation reuses the same tile
+        # (the CUDA reference recomputes the kernel matrix for each phase;
+        # here one pass covers both -> 2 instead of 3 exp sweeps per level)
         col_acc[...] = jnp.zeros((1, m), jnp.float32)
 
-        def phase2(t, _):
-            k = jnp.exp(level * dist_tile(t))
-            rl = ratio_l[pl.ds(t * _TILE, _TILE), :]  # (T, 1)
+        def phase12(t, _):
+            k = jnp.exp(level * dist_tile(t))  # (T, M)
+            suml = jnp.sum(k * remain_r[...], axis=1, keepdims=True)  # (T, 1)
+            rl = remain_l[pl.ds(t * _TILE, _TILE), :] / (suml + 1e-9)
+            ratio_l[pl.ds(t * _TILE, _TILE), :] = rl
             col_acc[...] += jnp.sum(k * rl, axis=0, keepdims=True)  # (1, M)
             return _
 
-        jax.lax.fori_loop(0, n_tiles, phase2, None)
+        jax.lax.fori_loop(0, n_tiles, phase12, None)
 
         demand = col_acc[...] * remain_r[...]  # (1, M)
         consumption = jnp.minimum(remain_r[...] / (demand + 1e-9), 1.0)

@@ -1,0 +1,138 @@
+"""Tests for the native tuning engine."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pccf.utils import tuning
+from pccf.utils.tuning import MedianPruner, TrialPruned, TrialState
+
+
+def make_study(tmp_path, **kw):
+    return tuning.create_study('test', f'sqlite:///{tmp_path}/t.db', **kw)
+
+
+class TestStudy:
+    def test_optimize_and_best(self, tmp_path):
+        study = make_study(tmp_path)
+
+        def objective(trial):
+            x = trial.suggest_float('x', -5, 5)
+            trial.report((x - 1) ** 2, step=0)
+            return (x - 1) ** 2
+
+        study.optimize(objective, n_trials=40)
+        assert abs(study.best_params['x'] - 1) < 2.0
+        assert study.best_trial.value is not None
+
+    def test_resume_from_storage(self, tmp_path):
+        study = make_study(tmp_path)
+        study.optimize(lambda t: t.suggest_float('x', 0, 1), n_trials=3)
+        study2 = make_study(tmp_path)
+        assert len(study2.get_trials()) == 3
+        study2.optimize(lambda t: t.suggest_float('x', 0, 1), n_trials=2)
+        assert len(study2.get_trials()) == 5
+
+    def test_failed_trial_recorded(self, tmp_path):
+        study = make_study(tmp_path)
+
+        def bad(trial):
+            raise RuntimeError('boom')
+
+        study.optimize(bad, n_trials=2)
+        assert all(t.state == TrialState.FAIL for t in study.get_trials())
+
+    def test_suggest_int_log(self, tmp_path):
+        study = make_study(tmp_path)
+        vals = []
+
+        def objective(trial):
+            vals.append(trial.suggest_int('d', 16, 512, log=True))
+            return 0.0
+
+        study.optimize(objective, n_trials=20)
+        assert all(16 <= v <= 512 for v in vals)
+
+
+class TestPruner:
+    def test_median_pruner_prunes_bad_trials(self, tmp_path):
+        pruner = MedianPruner(n_startup_trials=3, n_warmup_steps=0, interval_steps=1, n_min_trials=2)
+        study = make_study(tmp_path, pruner=pruner)
+
+        def objective(trial):
+            good = trial.suggest_categorical('good', [True, False])
+            for step in range(5):
+                value = 0.1 if good else 10.0
+                trial.report(value, step)
+                if trial.should_prune():
+                    raise TrialPruned()
+            return value
+
+        study.optimize(objective, n_trials=30)
+        trials = study.get_trials()
+        pruned = [t for t in trials if t.state == TrialState.PRUNED]
+        completed = [t for t in trials if t.state == TrialState.COMPLETE]
+        assert completed
+        # once enough good trials completed, bad ones get pruned
+        assert any(t.params.get('good') is False for t in pruned) or all(
+            t.params.get('good') for t in completed[5:]
+        )
+
+
+class TestSuggestOverrides:
+    def test_yaml_tree_to_overrides(self, tmp_path):
+        tune_cfg = {
+            'overrides': ['autoencoder.train.n_epochs=100'],
+            'tune': {
+                'params': {
+                    'autoencoder.model.decoder.sample_dim': {
+                        'suggest': 'suggest_categorical',
+                        'settings': {'choices': [8, 16, 32]},
+                    },
+                    'autoencoder.model.decoder.map_dims': {
+                        'suggest': 'suggest_list',
+                        'settings': {
+                            'min_length': 1,
+                            'max_length': 3,
+                            'suggest': 'suggest_int',
+                            'settings': {'low': 8, 'high': 256, 'log': True},
+                        },
+                    },
+                }
+            },
+        }
+        study = make_study(tmp_path)
+        trial = tuning.Trial(study, 0)
+        overrides = tuning.suggest_overrides(tune_cfg, trial)
+        assert overrides[0] == 'autoencoder.train.n_epochs=100'
+        assert any(o.startswith('autoencoder.model.decoder.sample_dim=') for o in overrides)
+        list_ov = [o for o in overrides if o.startswith('autoencoder.model.decoder.map_dims=')][0]
+        values = list_ov.split('=', 1)[1]
+        assert values.startswith('[') and values.endswith(']')
+        # overrides must be consumable by the composer
+        from pccf.config import get_config_all
+
+        cfg = get_config_all(overrides)
+        assert 1 <= len(cfg.autoencoder.model.decoder.map_dims) <= 3
+
+    def test_imputation(self, tmp_path):
+        study = make_study(tmp_path)
+
+        def objective(trial):
+            trial.suggest_float('x', 0, 1)
+            v = float(trial.number)
+            trial.report(v, 0)
+            return v
+
+        study.optimize(objective, n_trials=12)
+        trial = tuning.Trial(study, 100)
+        imputed = tuning.impute_pruned_trial(trial)
+        assert imputed == pytest.approx(np.percentile(list(range(12)), 75))
+        worst = tuning.impute_failed_trial(tuning.Trial(study, 101))
+        assert worst == 11.0
+
+    def test_imputation_needs_history(self, tmp_path):
+        study = make_study(tmp_path)
+        with pytest.raises(TrialPruned):
+            tuning.impute_pruned_trial(tuning.Trial(study, 0))
