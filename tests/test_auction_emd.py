@@ -1,0 +1,44 @@
+"""Auction EMD vs scipy optimal assignment oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from pccf.kernels.auction_emd import auction_emd
+
+
+def _clouds(b=2, n=48, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random((b, n, 3)).astype(np.float32)
+    y = rng.random((b, n, 3)).astype(np.float32)
+    return x, y
+
+
+class TestAuctionEMD:
+    def test_near_optimal_cost(self):
+        x, y = _clouds()
+        dis, assignment = auction_emd(jnp.asarray(x), jnp.asarray(y), eps=0.002, iters=500)
+        dis, assignment = np.asarray(dis), np.asarray(assignment)
+        assert (assignment >= 0).all(), 'auction did not converge'
+        for b in range(x.shape[0]):
+            # valid permutation
+            assert len(set(assignment[b].tolist())) == x.shape[1]
+            d2 = ((x[b][:, None] - y[b][None]) ** 2).sum(-1)
+            rows, cols = linear_sum_assignment(d2)
+            optimal = d2[rows, cols].sum()
+            got = dis[b].sum()
+            assert got <= optimal * 1.15 + 1e-4, (got, optimal)
+
+    def test_identity_assignment(self):
+        x, _ = _clouds(b=1)
+        dis, assignment = auction_emd(jnp.asarray(x), jnp.asarray(x), eps=0.0005, iters=800)
+        np.testing.assert_allclose(np.asarray(dis).sum(), 0.0, atol=1e-3)
+
+    def test_dis_matches_assignment(self):
+        x, y = _clouds(b=1, n=32, seed=3)
+        dis, assignment = auction_emd(jnp.asarray(x), jnp.asarray(y), eps=0.005, iters=200)
+        dis, assignment = np.asarray(dis)[0], np.asarray(assignment)[0]
+        d2 = ((x[0][:, None] - y[0][None]) ** 2).sum(-1)
+        for i, j in enumerate(assignment):
+            if j >= 0:
+                assert abs(dis[i] - d2[i, j]) < 1e-5
