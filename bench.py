@@ -9,9 +9,11 @@ forward+backward at 2048 points — the reference autoencoder's hot loss path.
 estimate for the reference CUDA kernels (BASELINE.md: ~2000 pairs/s fwd+bwd;
 the reference repo publishes no numbers).
 
-Timing methodology: K iterations chained through a data dependency inside one
-jitted ``lax.scan``, so the measurement is pure on-device time (the remote-TPU
-tunnel dispatches asynchronously, making open-loop host timing meaningless).
+Timing methodology: K iterations chained through a data dependency (each
+call's input depends on the previous call's output), so the device executes
+them strictly sequentially while host dispatch overlaps; one block at the
+end.  The remote-TPU tunnel dispatches asynchronously, making open-loop host
+timing meaningless.
 """
 
 from __future__ import annotations
@@ -25,22 +27,17 @@ A100_EST_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
 
 
 def _scan_time(step_fn, init_carry, iters: int) -> float:
-    """Seconds per iteration of ``step_fn`` chained on device."""
+    """Seconds per iteration of ``step_fn`` chained through its carry."""
     import jax
 
-    @jax.jit
-    def loop(carry):
-        def body(c, _):
-            return step_fn(c), None
-
-        out, _ = jax.lax.scan(body, carry, None, length=iters)
-        return out
-
-    out = loop(init_carry)  # compile + warm
-    jax.block_until_ready(out)
+    step = jax.jit(step_fn)
+    carry = step(init_carry)  # compile + warm
+    jax.block_until_ready(carry)
+    carry = init_carry
     t0 = time.time()
-    out = loop(init_carry)
-    jax.block_until_ready(out)
+    for _ in range(iters):
+        carry = step(carry)
+    jax.block_until_ready(carry)
     return (time.time() - t0) / iters
 
 

@@ -84,14 +84,16 @@ def hist_clipper(criterion: str = 'ZStat', decay: float = 0.9) -> optax.Gradient
         del params
         norm = optax.global_norm(updates)
         first = state.count == 0
-        new_mean = jnp.where(first, norm, decay * state.mean + (1 - decay) * norm)
-        delta = norm - new_mean
-        new_var = jnp.where(first, 0.0, decay * state.var + (1 - decay) * delta * delta)
-        threshold = _criterion_threshold(criterion, new_mean, new_var)
-        scale = jnp.where(
-            (norm > threshold) & jnp.logical_not(first), threshold / jnp.maximum(norm, 1e-12), 1.0
-        )
+        # threshold against the PRIOR history (an outlier must not raise the
+        # bar it is judged by), then fold the clipped norm into the stats
+        threshold = _criterion_threshold(criterion, state.mean, state.var)
+        clip = (norm > threshold) & jnp.logical_not(first)
+        scale = jnp.where(clip, threshold / jnp.maximum(norm, 1e-12), 1.0)
         updates = jax.tree.map(lambda g: g * scale, updates)
+        eff_norm = jnp.minimum(norm, jnp.where(first, norm, threshold))
+        new_mean = jnp.where(first, norm, decay * state.mean + (1 - decay) * eff_norm)
+        delta = eff_norm - new_mean
+        new_var = jnp.where(first, 0.0, decay * state.var + (1 - decay) * delta * delta)
         return updates, _HistState(new_mean, new_var, state.count + 1)
 
     return optax.GradientTransformation(init, update)
@@ -117,13 +119,13 @@ def param_hist_clipper(criterion: str = 'EMA', decay: float = 0.9) -> optax.Grad
 
         def upd(g, m, v):
             norm = jnp.sqrt(jnp.sum(g * g))
-            new_m = jnp.where(first, norm, decay * m + (1 - decay) * norm)
-            delta = norm - new_m
+            threshold = _criterion_threshold(criterion, m, v)
+            clip = (norm > threshold) & jnp.logical_not(first)
+            scale = jnp.where(clip, threshold / jnp.maximum(norm, 1e-12), 1.0)
+            eff_norm = jnp.minimum(norm, jnp.where(first, norm, threshold))
+            new_m = jnp.where(first, norm, decay * m + (1 - decay) * eff_norm)
+            delta = eff_norm - new_m
             new_v = jnp.where(first, 0.0, decay * v + (1 - decay) * delta * delta)
-            threshold = _criterion_threshold(criterion, new_m, new_v)
-            scale = jnp.where(
-                (norm > threshold) & jnp.logical_not(first), threshold / jnp.maximum(norm, 1e-12), 1.0
-            )
             return g * scale, new_m, new_v
 
         flat_g, tree = jax.tree.flatten(updates)

@@ -298,11 +298,38 @@ class Trainer:
         self.validation = Test(self.model, loader, self.objective, name='Validation')
 
     def save_checkpoint(self) -> None:
+        """Save model weights plus optimiser state for exact resume."""
+        import orbax.checkpoint as ocp
+
         self.model.save_state()
+        state = self._ensure_state()
+        path = (self.model.checkpoint.directory / f'epoch_{self.model.epoch}_opt').resolve()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {'opt_state': jax.device_get(state.opt_state), 'step': int(state.step)},
+            force=True,
+        )
+        ckptr.wait_until_finished()
 
     def load_checkpoint(self, checkpoint: int = -1) -> None:
+        """Restore model weights and, when present, the optimiser state."""
+        import orbax.checkpoint as ocp
+
         self.model.load_state(checkpoint)
-        self._state = None  # rebuilt (optimizer state restarts) on next train
+        self._state = None
+        state = self._ensure_state()
+        opt_path = (self.model.checkpoint.directory / f'epoch_{self.model.epoch}_opt').resolve()
+        if opt_path.exists():
+            ckptr = ocp.StandardCheckpointer()
+            template = {'opt_state': jax.device_get(state.opt_state), 'step': 0}
+            payload = ckptr.restore(opt_path, template)
+            self._state = TrainState(
+                params=state.params,
+                batch_stats=state.batch_stats,
+                opt_state=replicate(payload['opt_state'], self.mesh),
+                step=jnp.asarray(payload['step'], jnp.int32),
+            )
 
     def update_variables_from(self, variables: dict) -> None:
         """Replace live training params (codebook hook writes)."""

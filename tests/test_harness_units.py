@@ -1,0 +1,167 @@
+"""Unit tests: schedulers, grad ops, objectives algebra, losses."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from pccf.data.structures import Outputs, Targets, WTargets
+from pccf.train import Loss, Metric, losses
+from pccf.train.grad_ops import get_grad_op, hist_clipper, param_hist_clipper
+from pccf.train.schedulers import (
+    cosine_scheduler,
+    constant_scheduler,
+    exponential_scheduler,
+    restart,
+    warmup,
+)
+
+
+class TestSchedulers:
+    def test_cosine_endpoints(self):
+        f = cosine_scheduler(min_decay=0.01, decay_steps=100)
+        assert f(0) == pytest.approx(1.0)
+        assert f(100) == pytest.approx(0.01)
+        assert f(50) == pytest.approx(0.01 + 0.99 * 0.5)
+
+    def test_restart(self):
+        f = restart(cosine_scheduler(0.01, 100), restart_interval=100, restart_fraction=0.5)
+        assert f(100) == pytest.approx(0.5)  # restarted at half amplitude
+        assert f(0) == pytest.approx(1.0)
+
+    def test_warmup(self):
+        f = warmup(constant_scheduler(), warmup_steps=5)
+        assert f(0) == pytest.approx(0.2)
+        assert f(4) == pytest.approx(1.0)
+        assert f(10) == pytest.approx(1.0)
+
+    def test_exponential(self):
+        f = exponential_scheduler(0.9)
+        assert f(2) == pytest.approx(0.81)
+
+
+class TestGradOps:
+    def _params(self):
+        return {'a': jnp.asarray([3.0, 4.0]), 'b': jnp.asarray([[1.0, 0.0], [0.0, 1.0]])}
+
+    def test_param_normalizer(self):
+        op = get_grad_op('GradParamNormalizer')
+        g = self._params()
+        out, _ = op.update(g, op.init(g))
+        assert jnp.linalg.norm(out['a']) == pytest.approx(1.0, rel=1e-5)
+
+    def test_norm_clipper(self):
+        op = get_grad_op('GradNormClipper')
+        g = self._params()
+        out, _ = op.update(g, op.init(g))
+        assert optax.global_norm(out) <= 1.0 + 1e-5
+
+    def test_hist_clipper_clips_outliers(self):
+        op = hist_clipper('ZStat', decay=0.5)
+        g = self._params()
+        state = op.init(g)
+        for _ in range(5):
+            out, state = op.update(g, state)
+            np.testing.assert_allclose(np.asarray(out['a']), np.asarray(g['a']), rtol=1e-5)
+        big = jax.tree.map(lambda x: 100 * x, g)
+        out, state = op.update(big, state)
+        assert optax.global_norm(out) < optax.global_norm(big)
+
+    def test_param_hist_clipper_jits(self):
+        op = param_hist_clipper('EMA')
+        g = self._params()
+        state = op.init(g)
+
+        @jax.jit
+        def step(g, s):
+            return op.update(g, s)
+
+        out, state = step(g, state)
+        out, state = step(jax.tree.map(lambda x: 50 * x, g), state)
+        assert np.isfinite(np.asarray(out['a'])).all()
+
+
+class TestObjectivesAlgebra:
+    def test_weighted_sum_and_metric(self):
+        a = Loss(lambda o, t: o['x'], 'A')
+        b = Loss(lambda o, t: o['y'], 'B')
+        m = Metric(lambda o, t: o['x'] * 0 + 7.0, 'M', higher_is_better=True)
+        combined = a + 2.0 * b | m
+        o = {'x': jnp.asarray([1.0, 3.0]), 'y': jnp.asarray([2.0, 2.0])}
+        loss, metrics = combined.loss_and_metrics(o, None)
+        assert loss == pytest.approx(2.0 + 2.0 * 2.0)
+        assert metrics['A'] == pytest.approx(2.0)
+        assert metrics['M'] == pytest.approx(7.0)
+        assert combined.higher_is_better['M'] is True
+
+    def test_loss_times_loss(self):
+        anneal = Loss(lambda o, t: jnp.asarray(0.5), 'Ann')
+        kld = Loss(lambda o, t: o['k'], 'K')
+        prod = anneal * kld
+        loss, _ = prod.loss_and_metrics({'k': jnp.asarray([4.0])}, None)
+        assert loss == pytest.approx(2.0)
+
+    def test_merge_state(self):
+        m1 = Metric(lambda o, t: o, 'Acc', higher_is_better=True)
+        m2 = m1.copy()
+        m1.update_state({'Acc': 1.0}, count=10)
+        m2.update_state({'Acc': 0.0}, count=30)
+        m1.merge_state(m2)
+        assert m1.compute_metrics()['Acc'] == pytest.approx(0.25)
+
+
+class TestLossFormulas:
+    def test_gaussian_kld_zero_at_standard_normal(self):
+        kld = losses.gaussian_kld(jnp.zeros(4), jnp.zeros(4))
+        np.testing.assert_allclose(np.asarray(kld), 0.0, atol=1e-7)
+
+    def test_annealing_ramp(self):
+        class _Cfg:
+            class w_autoencoder:
+                class train:
+                    n_epochs = 100
+
+                class objective:
+                    c_kld1 = 0.1
+                    c_kld2 = 4.0
+
+                class model:
+                    n_pseudo_inputs = 0
+
+        ann = losses.get_annealing(_Cfg)
+        out0 = Outputs(model_epoch=0)
+        out50 = Outputs(model_epoch=50)
+        out100 = Outputs(model_epoch=100)
+        f = lambda o: float(ann.compute_all(o, None)['Annealing'])
+        assert f(out0) == pytest.approx(0.0)
+        assert f(out50) == pytest.approx(0.5)
+        assert f(out100) == pytest.approx(1.0)
+
+    def test_cross_entropy_matches_manual(self):
+        logits = jnp.asarray([[2.0, 0.0], [0.0, 1.0]])
+        targets = Targets(ref_cloud=None, label=jnp.asarray([0, 1]))
+        ce = losses.get_cross_entropy_loss()
+        vals = ce.compute_all(logits, targets)['CrossEntropy']
+        want = -np.log([np.exp(2) / (np.exp(2) + 1), np.e / (1 + np.e)])
+        np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-5)
+
+    def test_macro_accuracy(self):
+        logits = jnp.asarray([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+        targets = Targets(ref_cloud=None, label=jnp.asarray([0, 0, 1, 1]))
+        macro = losses.get_macro_accuracy()
+        val = float(jnp.mean(macro.compute_all(logits, targets)['Macro Accuracy']))
+        assert val == pytest.approx(0.75)  # class0 recall 1.0, class1 recall 0.5
+
+    def test_w_mse_and_accuracy(self):
+        out = Outputs(
+            w_recon=jnp.asarray([[1.0, 2.0]]),
+            w_dist_2=jnp.asarray([[[0.1, 0.5]]]),
+        )
+        t = WTargets(w_e=jnp.asarray([[0.0, 0.0]]), one_hot_idx=jnp.asarray([[[1.0, 0.0]]]))
+        mse = losses.get_mse_loss().compute_all(out, t)['MSE']
+        assert float(mse[0]) == pytest.approx(5.0)
+        acc = losses.get_w_accuracy().compute_all(out, t)['Quantisation Accuracy']
+        assert float(acc[0]) == pytest.approx(1.0)

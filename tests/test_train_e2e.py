@@ -124,6 +124,37 @@ class TestClassifierE2E:
             csvs = list((exp.exp_dir / 'metrics').glob('*.csv'))
             assert csvs, 'CSV metric logs missing'
 
+    def test_resume_with_optimizer_state(self, cfg):
+        from pccf.train import get_trackers
+
+        exp = Experiment(cfg, name='resume-test')
+        with exp.create_run():
+            module = get_classifier(cfg)
+            train_ds, _ = get_datasets(cfg)
+            loader = DataLoader(train_ds, cfg.classifier.train.batch_size_per_device)
+            sample = train_ds[0]
+            init_in = type(sample[0])(cloud=np.stack([sample[0].cloud]))
+
+            model = Model(module, name='DGCNN-R', seed=0)
+            model.initialize(init_in, train=False)
+            loss = get_classification_loss()
+            schema = get_learning_schema(cfg.classifier)
+            trainer = Trainer(model, loader, loss, schema)
+            trainer.train_until(1)
+            trainer.save_checkpoint()
+
+            model2 = Model(module, name='DGCNN-R', seed=0)
+            model2.initialize(init_in, train=False)
+            trainer2 = Trainer(model2, loader, loss, schema)
+            trainer2.load_checkpoint()
+            assert model2.epoch == 1
+            # optimizer state restored (momentum buffers nonzero after 1 epoch)
+            state = trainer2._ensure_state()
+            leaves = [np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(state.opt_state)]
+            assert any(l > 0 for l in leaves)
+            trainer2.train_until(2)
+            assert model2.epoch == 2
+
     def test_lr_schedule_applied(self):
         # default config: cosine over 45 epochs (interpolated) from 0.01
         default_cfg = get_config_all()
