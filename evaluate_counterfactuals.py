@@ -126,7 +126,7 @@ def print_suite(name: str, test: Test) -> None:
 
 def evaluate_counterfactuals(cfg, classifier: Model, vqvae: Model) -> dict[str, float]:
     num_classes = cfg.data.dataset.n_classes
-    batch_size = cfg.classifier.train.batch_size_per_device
+    batch_size = cfg.classifier.train.batch_size
     target_value = cfg.user.counterfactual_value
     dataset = get_dataset(cfg, Partitions.test if cfg.final else Partitions.val)
     dataset.set_inference(True)

@@ -49,10 +49,10 @@ def train_autoencoder(trial: Any | None = None) -> float | None:
     model = Model(ae, name=cfg_ae.model.name, seed=cfg_user.seed or 0)
     train_dataset, test_dataset = get_datasets(cfg)
     train_loader = DataLoader(
-        train_dataset, cfg_ae.train.batch_size_per_device, n_workers=cfg_user.n_workers
+        train_dataset, cfg_ae.train.batch_size, n_workers=cfg_user.n_workers
     )
     test_loader = DataLoader(
-        test_dataset, cfg_ae.train.batch_size_per_device, n_workers=cfg_user.n_workers
+        test_dataset, cfg_ae.train.batch_size, n_workers=cfg_user.n_workers
     )
 
     sample_inputs, _ = train_dataset[0]
@@ -125,7 +125,12 @@ def setup_and_train(cfg: AllConfig) -> None:
 @hydra_main
 def main(cfg: AllConfig) -> None:
     initialize_distributed()
-    setup_and_train(cfg)
+    if cfg.user.n_subprocesses:
+        from pccf.dist.launcher import DistributedWorker
+
+        DistributedWorker(setup_and_train, cfg.user.n_subprocesses).spawn(cfg)
+    else:
+        setup_and_train(cfg)
 
 
 if __name__ == '__main__':

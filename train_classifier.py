@@ -40,8 +40,8 @@ def train_classifier() -> None:
     module = get_classifier(cfg)
     model = Model(module, name=cfg_class.model.name, seed=cfg_user.seed or 0)
     train_dataset, test_dataset = get_datasets(cfg)
-    train_loader = DataLoader(train_dataset, cfg_class.train.batch_size_per_device)
-    test_loader = DataLoader(test_dataset, cfg_class.train.batch_size_per_device)
+    train_loader = DataLoader(train_dataset, cfg_class.train.batch_size)
+    test_loader = DataLoader(test_dataset, cfg_class.train.batch_size)
 
     sample_inputs, _ = train_dataset[0]
     model.initialize(Inputs(cloud=np.stack([sample_inputs.cloud])), train=False)
@@ -114,7 +114,12 @@ def setup_and_train(cfg: AllConfig) -> None:
 @hydra_main
 def main(cfg: AllConfig) -> None:
     initialize_distributed()
-    setup_and_train(cfg)
+    if cfg.user.n_subprocesses:
+        from pccf.dist.launcher import DistributedWorker
+
+        DistributedWorker(setup_and_train, cfg.user.n_subprocesses).spawn(cfg)
+    else:
+        setup_and_train(cfg)
 
 
 if __name__ == '__main__':

@@ -77,8 +77,8 @@ def train_w_autoencoder(cfg, vqvae: Model, classifier: Model, trial: Any | None 
     train_dataset, test_dataset = get_datasets(cfg)
     train_w = WDatasetWithLogits(train_dataset, vqvae, classifier)
     test_w = WDatasetWithLogits(test_dataset, vqvae, classifier)
-    train_loader = DataLoader(train_w, cfg_w.train.batch_size_per_device)
-    test_loader = DataLoader(test_w, cfg_w.train.batch_size_per_device)
+    train_loader = DataLoader(train_w, cfg_w.train.batch_size)
+    test_loader = DataLoader(test_w, cfg_w.train.batch_size)
 
     loss_calc = get_w_autoencoder_loss(cfg)
     schema = get_learning_schema(cfg.w_autoencoder)
@@ -142,7 +142,12 @@ def setup_and_train(cfg: AllConfig) -> None:
 @hydra_main
 def main(cfg: AllConfig) -> None:
     initialize_distributed()
-    setup_and_train(cfg)
+    if cfg.user.n_subprocesses:
+        from pccf.dist.launcher import DistributedWorker
+
+        DistributedWorker(setup_and_train, cfg.user.n_subprocesses).spawn(cfg)
+    else:
+        setup_and_train(cfg)
 
 
 if __name__ == '__main__':
