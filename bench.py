@@ -9,11 +9,10 @@ forward+backward at 2048 points — the reference autoencoder's hot loss path.
 estimate for the reference CUDA kernels (BASELINE.md: ~2000 pairs/s fwd+bwd;
 the reference repo publishes no numbers).
 
-Timing methodology: K iterations chained through a data dependency (each
-call's input depends on the previous call's output), so the device executes
-them strictly sequentially while host dispatch overlaps; one block at the
-end.  The remote-TPU tunnel dispatches asynchronously, making open-loop host
-timing meaningless.
+Timing methodology: the step is iterated inside a jitted ``lax.scan`` with a
+real data dependency between iterations; per-step time is the *marginal* time
+between a long and a short scan, which cancels the fixed dispatch/transfer
+overhead of the remote-TPU tunnel exactly.
 """
 
 from __future__ import annotations
@@ -26,22 +25,32 @@ import numpy as np
 A100_EST_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
 
 
-def _scan_time(step_fn, init_carry, iters: int) -> float:
-    """Seconds per iteration of ``step_fn`` chained through its carry."""
+def _marginal_scan_time(step_fn, args, k_short=2, k_long=12) -> float:
+    """Marginal seconds/iteration of ``step_fn`` chained inside lax.scan."""
     import jax
 
-    step = jax.jit(step_fn)
-    carry = step(init_carry)  # compile + warm
-    jax.block_until_ready(carry)
-    carry = init_carry
-    t0 = time.time()
-    for _ in range(iters):
-        carry = step(carry)
-    jax.block_until_ready(carry)
-    return (time.time() - t0) / iters
+    def make(k):
+        @jax.jit
+        def loop(*args):
+            def body(c, _):
+                return step_fn(c), None
+
+            out, _ = jax.lax.scan(body, args, None, length=k)
+            return jax.tree.leaves(out)[0].ravel()[0]
+
+        return loop
+
+    times = {}
+    for k in (k_short, k_long):
+        loop = make(k)
+        float(loop(*args))  # compile + warm (forces full execution)
+        t0 = time.time()
+        float(loop(*args))
+        times[k] = time.time() - t0
+    return max((times[k_long] - times[k_short]) / (k_long - k_short), 1e-9)
 
 
-def bench_loss_kernels(batch=8, n=2048, iters=30):
+def bench_loss_kernels(batch=8, n=2048):
     import jax
     import jax.numpy as jnp
 
@@ -56,9 +65,8 @@ def bench_loss_kernels(batch=8, n=2048, iters=30):
 
         def step(carry):
             cx, cy = carry
-            v, (gx, gy) = grad_fn(cx, cy)
-            # data dependency that cannot be folded away but leaves values intact
-            return cx + 1e-30 * gx + 0.0 * v, cy + 1e-30 * gy
+            _, (gx, gy) = grad_fn(cx, cy)
+            return cx + 1e-3 * gx, cy + 1e-3 * gy
 
         return step
 
@@ -68,13 +76,13 @@ def bench_loss_kernels(batch=8, n=2048, iters=30):
         ('chamfer', lambda a, b: jnp.sum(kapi.chamfer(a, b))),
         ('emd', lambda a, b: jnp.sum(kapi.match_cost(a, b))),
     ]:
-        dt = _scan_time(make_step(loss), (x, y), iters)
+        dt = _marginal_scan_time(make_step(loss), (x, y))
         results[f'{name}_pairs_per_s'] = batch / dt
         results[f'{name}_ms_per_batch'] = dt * 1e3
     return results
 
 
-def bench_counterfactual(batch=16, n=2048, iters=10):
+def bench_counterfactual(batch=16, n=2048):
     """Full counterfactual decode (encode -> interpolate -> decode) at the
     reference flagship shapes: w_dim 1024 = 256 codes x 4, transformer 512."""
     import jax
@@ -105,9 +113,11 @@ def bench_counterfactual(batch=16, n=2048, iters=10):
             variables, Inputs(cloud=cloud_c), logits_c, 1, 1.0,
             method='generate_counterfactual', rngs={'sampling': jax.random.key(3)},
         ).recon
-        return cloud_c + 1e-30 * recon, logits_c
+        return cloud_c + 1e-3 * recon, logits_c
 
-    dt = _scan_time(step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), iters)
+    dt = _marginal_scan_time(
+        step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), k_short=1, k_long=5
+    )
     return {'counterfactual_samples_per_s': batch / dt, 'counterfactual_batch_ms': dt * 1e3}
 
 

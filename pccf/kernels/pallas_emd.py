@@ -78,8 +78,9 @@ def _emd_kernel(
     g2_acc[...] = jnp.zeros((m, 4), jnp.float32)
 
     def level_body(li, _):
-        # level = -4^(7-li): li = 0..8 (approxmatch.cu:24-27)
-        level = -jnp.exp2(14.0 - 2.0 * li.astype(jnp.float32))
+        # level = -4^(7-li): li = 0..8 (approxmatch.cu:24-27); folded with
+        # log2(e) so the kernel uses the hardware exp2 directly
+        level2 = -jnp.exp2(14.0 - 2.0 * li.astype(jnp.float32)) * 1.4426950408889634
 
         # ---- fused phases 1+2: the per-tile ratioL only needs the tile's own
         # kernel rows, so the column-demand accumulation reuses the same tile
@@ -88,7 +89,7 @@ def _emd_kernel(
         col_acc[...] = jnp.zeros((1, m), jnp.float32)
 
         def phase12(t, _):
-            k = jnp.exp(level * dist_tile(t))  # (T, M)
+            k = jnp.exp2(level2 * dist_tile(t))  # (T, M)
             suml = jnp.sum(k * remain_r[...], axis=1, keepdims=True)  # (T, 1)
             rl = remain_l[pl.ds(t * _TILE, _TILE), :] / (suml + 1e-9)
             ratio_l[pl.ds(t * _TILE, _TILE), :] = rl
@@ -105,15 +106,16 @@ def _emd_kernel(
         # ---- phase 3: assign mass; accumulate cost, grad1 and grad2 parts
         def phase3(t, _):
             d2 = dist_tile(t)
-            k = jnp.exp(level * d2)
+            k = jnp.exp2(level2 * d2)
             rl = ratio_l[pl.ds(t * _TILE, _TILE), :]  # (T, 1)
             w = k * rl * ratio_r[...]  # (T, M)
             remain_l[pl.ds(t * _TILE, _TILE), :] = jnp.maximum(
                 0.0, remain_l[pl.ds(t * _TILE, _TILE), :] - jnp.sum(w, axis=1, keepdims=True)
             )
-            d = jnp.sqrt(jnp.maximum(d2, 0.0))
-            cost_ref[...] = cost_ref[...] + jnp.sum(w * d)
+            # w * sqrt(d2) == winv * d2, so the cost reuses the gradient's
+            # rsqrt and the sqrt disappears entirely
             winv = w * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))  # (T, M)
+            cost_ref[...] = cost_ref[...] + jnp.sum(winv * jnp.maximum(d2, 0.0))
             row_sum = jnp.sum(winv, axis=1, keepdims=True)  # (T, 1)
             xt = x1_ref[pl.ds(t * _TILE, _TILE), :]  # (T, 3)
             wx2 = jnp.dot(
