@@ -37,6 +37,7 @@ _TILE = 128  # x1 rows per inner step; (TILE, M) f32 temporaries stay ~1 MB in V
 def _emd_kernel(
     x1_ref,  # (N, 3) VMEM in
     x2_ref,  # (M, 3) VMEM in
+    x2t_ref,  # (3, M) VMEM in (transposed copy for the distance expansion)
     cost_ref,  # (1, 1) VMEM out
     grad1_ref,  # (N, 3) VMEM out
     grad2_ref,  # (M, 3) VMEM out
@@ -53,23 +54,21 @@ def _emd_kernel(
     mult_r: float,
 ):
     x2 = x2_ref[...]
-    x2_sq = jnp.sum(x2 * x2, axis=-1)[None, :]  # (1, M)
     n_tiles = n // _TILE
 
     def dist_tile(t):
-        """Squared-distance tile (TILE, M) for x1 rows [t*TILE, (t+1)*TILE)."""
+        """Squared-distance tile (TILE, M) for x1 rows [t*TILE, (t+1)*TILE).
+
+        Exact f32 elementwise expansion sum_c (x1_c - x2_c)^2: ~3.5x faster
+        than the K=3 HIGHEST-precision MXU contraction (which Mosaic emulates
+        in six passes), and never produces the tiny negative d2 values that
+        would explode the rsqrt in the gradient path."""
         xt = x1_ref[pl.ds(t * _TILE, _TILE), :]  # (T, 3)
-        xt_sq = jnp.sum(xt * xt, axis=-1, keepdims=True)  # (T, 1)
-        # HIGHEST precision: bf16 MXU noise can drive tiny d2 negative, which
-        # explodes the rsqrt in the gradient path.
-        cross = jax.lax.dot_general(
-            xt,
-            x2,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (T, M)
-        return xt_sq - 2.0 * cross + x2_sq
+        d2 = jnp.zeros((_TILE, m), jnp.float32)
+        for c in range(3):
+            diff = xt[:, c : c + 1] - x2t_ref[c : c + 1, :]
+            d2 = d2 + diff * diff
+        return d2
 
     remain_l[...] = jnp.full((n, 1), mult_l, jnp.float32)
     remain_r[...] = jnp.full((1, m), mult_r, jnp.float32)
@@ -160,6 +159,7 @@ def _emd_forward_and_grads(x1: Array, x2: Array) -> tuple[Array, Array, Array]:
         in_specs=[
             pl.BlockSpec((None, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -184,7 +184,7 @@ def _emd_forward_and_grads(x1: Array, x2: Array) -> tuple[Array, Array, Array]:
             bytes_accessed=int(b * (n + m) * c * 4 * 4),
             transcendentals=int(9 * 3 * b * n * m),
         ),
-    )(x1, x2)
+    )(x1, x2, jnp.swapaxes(x2, 1, 2))
     return cost[:, 0, 0], grad1, grad2
 
 

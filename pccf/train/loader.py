@@ -63,12 +63,12 @@ class DataLoader:
         return max(1, n // self.batch_size)
 
     def _fetch(self, idx_list: list[int], inference: bool) -> tuple[Any, Any]:
+        if hasattr(self.dataset, 'set_inference'):
+            self.dataset.set_inference(inference)
         getitems = getattr(self.dataset, '__getitems__', None)
         if getitems is not None:
             items = getitems(idx_list)
         else:
-            if hasattr(self.dataset, 'set_inference'):
-                self.dataset.set_inference(inference)
             items = [self.dataset[i] for i in idx_list]
         inputs = _stack([it[0] for it in items])
         targets = _stack([it[1] for it in items])
