@@ -125,7 +125,11 @@ def graph_filtering(x: Array, k: int = 4) -> Array:
         x: ``(B, N, 3)`` decoded cloud.
         k: neighbours including self.
     """
-    idx = knn(x, k)
+    return graph_filtering_with_idx(x, knn(x, k))
+
+
+def graph_filtering_with_idx(x: Array, idx: Array) -> Array:
+    """Graph filtering with precomputed neighbour indices (self first)."""
     neigh = gather_neighbors(x, idx)[:, :, 1:, :]  # drop self
     diff = x[:, :, None, :] - neigh  # (B, N, k-1, 3)
     dist = jnp.sqrt(jnp.abs(jnp.sum(diff * diff, axis=-1)))  # (B, N, k-1)

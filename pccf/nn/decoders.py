@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pccf.kernels import ops
+from pccf.kernels import api as kapi, ops
 from pccf.nn.layers import DenseBlock, gumbel_softmax, temperature_softmax
 
 Array = jax.Array
@@ -118,7 +118,7 @@ class PCGenDecoder(nn.Module):
             x = comps[0]
 
         if self.filtering:
-            x = ops.graph_filtering(x)
+            x = kapi.graph_filtering(x)
         return x
 
 

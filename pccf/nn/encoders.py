@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pccf.kernels import ops
+from pccf.kernels import api as kapi, ops
 from pccf.nn.layers import DenseBlock
 
 Array = jax.Array
@@ -34,7 +34,7 @@ class EdgeConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, idx: Array | None, train: bool = False) -> Array:
         if idx is None:
-            idx = ops.knn(x, self.k)
+            idx = kapi.knn(x, self.k)
         feats = ops.edge_features(x, idx)  # (B, N, k, 2C)
         feats = DenseBlock(self.features, act=self.act, act_name=self.act_name)(feats, train)
         return jnp.max(feats, axis=2)  # (B, N, F)
@@ -82,7 +82,7 @@ class LDGCNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, cloud: Array, indices: Array | None = None, train: bool = False) -> Array:
-        idx = indices if indices is not None else ops.knn(cloud, self.n_neighbors)
+        idx = indices if indices is not None else kapi.knn(cloud, self.n_neighbors)
         x = EdgeConvBlock(self.conv_dims[0], self.n_neighbors, None, '', name='edge_conv')(cloud, idx, train)
         xs = [x]
         for i, f in enumerate(self.conv_dims[1:]):
