@@ -59,6 +59,34 @@ class ModelNet40Split(PointCloudDataset):
     def __len__(self) -> int:
         return self.pcd.shape[0]
 
+    def __getitems__(self, idx_list) -> list[tuple[Inputs, Targets]]:
+        """Batched fetch: native C++ assembler on the common training path
+        (resample-with-replacement + normalise + jitter; cloud == ref)."""
+        complex_path = (
+            self.inference
+            or self.resample
+            or self.augment.rotation
+            or self.augment.translation_and_scale
+        )
+        if not complex_path:
+            from pccf import native
+
+            ids = np.asarray(idx_list, np.int64)
+            batch = native.assemble_batch(
+                self.pcd,
+                ids,
+                self.input_points,
+                seed=int(self.rng.integers(2**62)),
+                jitter_sigma=self.jitter.sigma or 0.0,
+                jitter_clip=self.jitter.clip or 0.0,
+            )
+            if batch is not None:
+                return [
+                    (Inputs(cloud=batch[i]), Targets(ref_cloud=batch[i], label=np.int64(self.labels[j])))
+                    for i, j in enumerate(idx_list)
+                ]
+        return [self[int(i)] for i in idx_list]
+
     def __getitem__(self, index: int) -> tuple[Inputs, Targets]:
         np_cloud = self.pcd[index]
         label = np.int64(self.labels[index])

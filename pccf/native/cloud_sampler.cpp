@@ -1,0 +1,117 @@
+// Native host-side point-cloud batch assembly.
+//
+// The hot host path of training is per-item resampling + unit-sphere
+// normalisation + jitter (reference src/data/modelnet.py:38-59 does this in
+// Python/numpy per item).  This C++ implementation assembles whole batches
+// in parallel threads with a per-item counter-based RNG so results are
+// reproducible from (seed, epoch, item).
+//
+// Exposed C ABI (ctypes-consumed by pccf/native/__init__.py):
+//   pccf_assemble_batch(...)
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// splitmix64 for seeding + xorshift for the stream: fast, portable
+struct Rng {
+    uint64_t s;
+    explicit Rng(uint64_t seed) {
+        s = seed + 0x9E3779B97f4A7C15ULL;
+        s = (s ^ (s >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        s = (s ^ (s >> 27)) * 0x94D049BB133111EBULL;
+        s = s ^ (s >> 31);
+        if (s == 0) s = 0x1234567ULL;
+    }
+    inline uint64_t next() {
+        s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+        return s;
+    }
+    inline double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
+    inline uint64_t below(uint64_t n) { return next() % n; }
+    // Box-Muller
+    inline void normal2(float* a, float* b) {
+        double u1 = uniform(), u2 = uniform();
+        if (u1 < 1e-300) u1 = 1e-300;
+        double r = std::sqrt(-2.0 * std::log(u1));
+        *a = (float)(r * std::cos(6.283185307179586 * u2));
+        *b = (float)(r * std::sin(6.283185307179586 * u2));
+    }
+};
+
+void process_item(const float* cloud, int64_t n_src, int64_t n_out,
+                  uint64_t seed, int do_jitter, float sigma, float clip,
+                  float* out) {
+    Rng rng(seed);
+    // sample with replacement
+    std::vector<int64_t> pick((size_t)n_out);
+    for (int64_t i = 0; i < n_out; ++i) pick[(size_t)i] = (int64_t)rng.below((uint64_t)n_src);
+    // gather + mean
+    double mean[3] = {0, 0, 0};
+    for (int64_t i = 0; i < n_out; ++i) {
+        const float* p = cloud + 3 * pick[(size_t)i];
+        float* q = out + 3 * i;
+        q[0] = p[0]; q[1] = p[1]; q[2] = p[2];
+        mean[0] += p[0]; mean[1] += p[1]; mean[2] += p[2];
+    }
+    for (int c = 0; c < 3; ++c) mean[c] /= (double)n_out;
+    // center + max radius
+    double max_r2 = 0.0;
+    for (int64_t i = 0; i < n_out; ++i) {
+        float* q = out + 3 * i;
+        q[0] -= (float)mean[0]; q[1] -= (float)mean[1]; q[2] -= (float)mean[2];
+        double r2 = (double)q[0] * q[0] + (double)q[1] * q[1] + (double)q[2] * q[2];
+        if (r2 > max_r2) max_r2 = r2;
+    }
+    float inv = max_r2 > 0 ? (float)(1.0 / std::sqrt(max_r2)) : 1.0f;
+    for (int64_t i = 0; i < 3 * n_out; ++i) out[i] *= inv;
+    // clipped gaussian jitter
+    if (do_jitter) {
+        for (int64_t i = 0; i + 1 < 3 * n_out; i += 2) {
+            float a, b;
+            rng.normal2(&a, &b);
+            a *= sigma; b *= sigma;
+            if (a > clip) a = clip; if (a < -clip) a = -clip;
+            if (b > clip) b = clip; if (b < -clip) b = -clip;
+            out[i] += a; out[i + 1] += b;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// clouds: (n_items, n_src, 3) contiguous f32; item_ids: (batch,) indices
+// out: (batch, n_out, 3) preallocated f32
+void pccf_assemble_batch(const float* clouds, int64_t n_items, int64_t n_src,
+                         const int64_t* item_ids, int64_t batch, int64_t n_out,
+                         uint64_t seed, int do_jitter, float sigma, float clip,
+                         float* out) {
+    (void)n_items;
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if ((int64_t)n_threads > batch) n_threads = (int)batch;
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+        pool.emplace_back([=]() {
+            for (int64_t b = t; b < batch; b += n_threads) {
+                const float* cloud = clouds + 3 * n_src * item_ids[b];
+                // counter-based per-item seed: reproducible and independent
+                uint64_t item_seed = seed * 0x100000001B3ULL + (uint64_t)b * 0x9E3779B1ULL
+                                     + (uint64_t)item_ids[b];
+                process_item(cloud, n_src, n_out, item_seed, do_jitter, sigma, clip,
+                             out + 3 * n_out * b);
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+}
+
+int pccf_native_version() { return 1; }
+
+}  // extern "C"
