@@ -114,6 +114,24 @@ def graph_max_pool(x: Array, idx: Array) -> Array:
     return jnp.max(gather_neighbors(x, idx), axis=2)
 
 
+def get_local_covariance(x: Array, idx: Array) -> Array:
+    """Per-point local covariance features concatenated to the input
+    (reference neighbour_ops.py:97-103; unused by the shipped models but part
+    of the geometry-op surface).
+
+    Args:
+        x: ``(B, N, C)`` features.
+        idx: ``(B, N, k)`` neighbour indices.
+
+    Returns:
+        ``(B, N, C + C*C)``: input features plus flattened covariances.
+    """
+    neigh = gather_neighbors(x, idx)  # (B, N, k, C)
+    centered = neigh - jnp.mean(neigh, axis=2, keepdims=True)
+    cov = jnp.einsum('bnkc,bnkd->bncd', centered, centered)
+    return jnp.concatenate([x, cov.reshape(*x.shape[:2], -1)], axis=-1)
+
+
 def graph_filtering(x: Array, k: int = 4) -> Array:
     """Gaussian-weighted sharpening filter applied to a decoded cloud.
 

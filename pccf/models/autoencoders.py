@@ -18,6 +18,19 @@ from pccf.models.w_autoencoders import WAutoEncoder, get_w_autoencoder
 Array = jax.Array
 
 
+class Oracle(nn.Module):
+    """Oracle autoencoder: returns an input subset as the reconstruction
+    (reference autoencoders.py:47-54; an upper-bound baseline for recon
+    metrics, not in the factory registry)."""
+
+    n_training_output_points: int
+    n_inference_output_points: int
+
+    def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
+        n = self.n_training_output_points if train else self.n_inference_output_points
+        return Outputs(recon=inputs.cloud[:, :n, :])
+
+
 class VQVAE(nn.Module):
     """VQ-VAE over point clouds with an embedded (separately trained) inner CVAE.
 

@@ -24,7 +24,13 @@ OUT_CHAN = 3
 
 
 class EdgeConvBlock(nn.Module):
-    """EdgeConv: graph features -> dense(+BN+act) -> max over neighbours."""
+    """EdgeConv: graph features -> dense(+BN+act) -> max over neighbours.
+
+    TPU restructure: with ``W = [W_diff; W_self]`` the edge dense
+    ``concat(nbr - x, x) @ W`` equals ``(x @ W_diff)[nbr] + x @ (W_self - W_diff)``
+    — two point-wise matmuls plus a feature gather.  This removes the
+    ``(B, N, k, 2C)`` edge-feature tensor and cuts the matmul FLOPs by the
+    neighbour count k (identical math to reference encoders.py EdgeConv)."""
 
     features: int
     k: int
@@ -33,11 +39,21 @@ class EdgeConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, idx: Array | None, train: bool = False) -> Array:
+        from pccf.nn.layers import get_kernel_init
+
         if idx is None:
             idx = kapi.knn(x, self.k)
-        feats = ops.edge_features(x, idx)  # (B, N, k, 2C)
-        feats = DenseBlock(self.features, act=self.act, act_name=self.act_name)(feats, train)
-        return jnp.max(feats, axis=2)  # (B, N, F)
+        c = x.shape[-1]
+        init = get_kernel_init(self.act_name if self.act is not None else 'linear')
+        kernel = self.param('kernel', init, (2 * c, self.features))  # [W_diff; W_self]
+        w_diff = kernel[:c]
+        u = jnp.dot(x, w_diff)  # (B, N, F): gathered per neighbour
+        s = jnp.dot(x, kernel[c:] - w_diff)  # (B, N, F): per-centre term
+        pre = ops.gather_neighbors(u, idx) + s[:, :, None, :]  # (B, N, k, F)
+        pre = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name='bn')(pre)
+        if self.act is not None:
+            pre = self.act(pre)
+        return jnp.max(pre, axis=2)  # (B, N, F)
 
 
 class DGCNNEncoder(nn.Module):
