@@ -31,6 +31,23 @@ from pccf.kernels.ops import APPROX_MATCH_LEVELS
 
 Array = jax.Array
 
+
+def _dot_bf16x3(a: Array, b: Array, dims) -> Array:
+    """dot_general at ~f32 accuracy via three bf16 MXU passes (Mosaic's
+    HIGHEST emulation costs six)."""
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    a_hi, a_lo = split(a)
+    b_hi, b_lo = split(b)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
 _TILE = 128  # x1 rows per inner step; (TILE, M) f32 temporaries stay ~1 MB in VMEM
 
 
@@ -117,19 +134,11 @@ def _emd_kernel(
             cost_ref[...] = cost_ref[...] + jnp.sum(winv * jnp.maximum(d2, 0.0))
             row_sum = jnp.sum(winv, axis=1, keepdims=True)  # (T, 1)
             xt = x1_ref[pl.ds(t * _TILE, _TILE), :]  # (T, 3)
-            wx2 = jnp.dot(
-                winv, x2, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
-            )  # (T, 3)
+            wx2 = _dot_bf16x3(winv, x2, (((1,), (0,)), ((), ())))  # (T, 3)
             grad1_ref[pl.ds(t * _TILE, _TILE), :] += xt * row_sum - wx2
             # column side in one matmul: winv^T @ [x1 | 1] -> (M, 4)
             aug = jnp.concatenate([xt, jnp.ones((_TILE, 1), jnp.float32)], axis=1)
-            g2_acc[...] += jax.lax.dot_general(
-                winv,
-                aug,
-                (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            g2_acc[...] += _dot_bf16x3(winv, aug, (((0,), (0,)), ((), ())))
             return _
 
         jax.lax.fori_loop(0, n_tiles, phase3, None)
