@@ -90,6 +90,14 @@ class Experiment:
         path.write_text(json.dumps(blob, default=str, indent=2))
 
 
+def set_tuning_logging() -> None:
+    """Quiet per-epoch logging during hyper-parameter studies
+    (reference experiment.py:80-88)."""
+    import logging
+
+    logging.getLogger('pccf').setLevel(logging.WARNING)
+
+
 def update_exp_name(cfg_name: str, overrides: list[str]) -> tuple[str, list[str]]:
     """Fold CLI overrides into the experiment name + tags (experiment.py:67-77)."""
     tags = [ov for ov in overrides if '=' in ov]
