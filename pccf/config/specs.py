@@ -46,7 +46,8 @@ def get_activation(name: str) -> Callable:
         '': lambda x: jax.nn.leaky_relu(x, negative_slope=0.2),  # DEFAULT_ACT
         'LeakyReLU': lambda x: jax.nn.leaky_relu(x, negative_slope=0.2),
         'ReLU': jax.nn.relu,
-        'GELU': jax.nn.gelu,
+        # exact erf form (torch.nn.GELU default; jax defaults to tanh approx)
+        'GELU': lambda x: jax.nn.gelu(x, approximate=False),
         'Hardtanh': jax.nn.hard_tanh,
         'Tanh': jax.nn.tanh,
         'SiLU': jax.nn.silu,
