@@ -150,7 +150,10 @@ def graph_filtering_with_idx(x: Array, idx: Array) -> Array:
     """Graph filtering with precomputed neighbour indices (self first)."""
     neigh = gather_neighbors(x, idx)[:, :, 1:, :]  # drop self
     diff = x[:, :, None, :] - neigh  # (B, N, k-1, 3)
-    dist = jnp.sqrt(jnp.abs(jnp.sum(diff * diff, axis=-1)))  # (B, N, k-1)
+    # epsilon guards sqrt'(0): duplicate decoded points would otherwise put
+    # NaNs into the backward pass (the reference's sqrt(abs(.)) has the same
+    # singularity; its GPU path just never hits exact zeros)
+    dist = jnp.sqrt(jnp.abs(jnp.sum(diff * diff, axis=-1)) + 1e-12)  # (B, N, k-1)
     sigma = jnp.maximum(jnp.mean(dist[:, :, 0:1], axis=1, keepdims=True), 0.005)
     weights = jnp.exp(-dist / sigma)  # (B, N, k-1)
     w_sum = jnp.sum(weights, axis=-1, keepdims=True)  # (B, N, 1)

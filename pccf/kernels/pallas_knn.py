@@ -71,7 +71,12 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int):
 
 @functools.partial(jax.jit, static_argnames=('k',))
 def knn_tpu(x: Array, k: int) -> Array:
-    """Exact self-kNN indices ``(B, N, k)`` via the fused Pallas kernel."""
+    """Exact self-kNN indices ``(B, N, k)`` via the fused Pallas kernel.
+
+    Neighbour indices carry no gradient (the reference likewise treats the
+    graph as non-differentiable); the input is detached so autodiff never
+    tries to linearize through the pallas_call."""
+    x = jax.lax.stop_gradient(x)
     b, n, c = x.shape
     pad_n = (-n) % _TILE
     xp = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0))) if pad_n else x

@@ -90,3 +90,12 @@ class DataLoader:
         for b in range(0, n, self.batch_size):
             idx = list(range(b, min(b + self.batch_size, n)))
             yield self._fetch(idx, inference=inference)
+
+
+def take_from_dataset(dataset: Any, num_samples: int, inference: bool = True) -> tuple[Any, Any]:
+    """First ``num_samples`` items stacked into one batch (drytorch
+    ``take_from_dataset`` parity; used by the reconstruction-logging hooks)."""
+    if hasattr(dataset, 'set_inference'):
+        dataset.set_inference(inference)
+    items = [dataset[i] for i in range(min(num_samples, len(dataset)))]
+    return _stack([it[0] for it in items]), _stack([it[1] for it in items])

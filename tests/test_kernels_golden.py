@@ -228,6 +228,15 @@ class TestVQ:
         np.testing.assert_allclose(np.asarray(g_q), np.asarray(2 * w_e), atol=1e-5)
 
 
+class TestGraphFilteringGrad:
+    def test_no_nan_grad_with_duplicate_points(self):
+        # sqrt'(0) guard: duplicate decoded points must not poison the backward
+        x = np.random.default_rng(0).standard_normal((1, 32, 3)).astype(np.float32)
+        x[0, 1] = x[0, 0]
+        g = jax.grad(lambda c: jnp.sum(ops.graph_filtering(c)))(jnp.asarray(x))
+        assert not bool(jnp.isnan(g).any())
+
+
 class TestGraphFiltering:
     def test_matches_torch_reference_formula(self):
         x, _ = _rand_clouds(b=2, n=64)
