@@ -1,0 +1,54 @@
+"""Parameter sharding rules: tensor-parallel layouts over a 2-D mesh.
+
+The reference has data parallelism only (SURVEY §2.7); pccf additionally
+supports sharding large dense kernels over a model axis — under GSPMD the
+matching collectives (all-gather of activations / reduce-scatter of
+gradients) are inserted by XLA from the parameter layout alone.
+
+Usage:
+    mesh = Mesh(devices.reshape(dp, mp), ('dp', 'mp'))
+    params = shard_params_tp(params, mesh, min_size=256)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def tp_spec(path: tuple, value: Any, mesh: Mesh, axis: str, min_size: int) -> P:
+    """PartitionSpec for one parameter leaf.
+
+    Matrix-shaped kernels with a large, divisible output dimension are sharded
+    on the model axis (column parallel); everything else is replicated.
+    """
+    mp = mesh.shape[axis]
+    shape = getattr(value, 'shape', ())
+    if len(shape) >= 2 and shape[-1] >= min_size and shape[-1] % mp == 0:
+        name = str(path[-1]) if path else ''
+        if 'kernel' in name or 'embedding' in name:
+            return P(*([None] * (len(shape) - 1)), axis)
+    return P()
+
+
+def shard_params_tp(params: Any, mesh: Mesh, axis: str = 'mp', min_size: int = 256) -> Any:
+    """Device-put a parameter pytree with column-parallel kernel sharding."""
+
+    def put(path, value):
+        spec = tp_spec(tuple(p.key if hasattr(p, 'key') else p for p in path), value, mesh, axis, min_size)
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+def make_2d_mesh(n_devices: int, mp: int = 2) -> Mesh:
+    """(dp, mp) mesh over the first ``n_devices`` devices."""
+    devices = np.asarray(jax.devices()[:n_devices])
+    if n_devices % mp:
+        mp = 1
+    return Mesh(devices.reshape(n_devices // mp, mp), ('dp', 'mp'))
