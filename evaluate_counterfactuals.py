@@ -12,10 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 from pccf.config import AllConfig, Experiment, hydra_main
-from pccf.data import Inputs, Partitions, get_dataset
+from pccf.data import Partitions, get_dataset
 from pccf.data.processed import CounterfactualDatasetEncoder, DoubleReconstructedDatasetWithLogits
-from pccf.models import get_autoencoder
-from pccf.nn import get_classifier
 from pccf.train import DataLoader, Model, Test, compute_metrics, get_classification_loss
 
 

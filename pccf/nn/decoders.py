@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pccf.kernels import api as kapi, ops
+from pccf.kernels import api as kapi
 from pccf.nn.layers import DenseBlock, gumbel_softmax, temperature_softmax
 
 Array = jax.Array

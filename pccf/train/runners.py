@@ -21,7 +21,7 @@ are the better estimator.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Iterable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
