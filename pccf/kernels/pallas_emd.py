@@ -72,6 +72,7 @@ def _emd_kernel(
 ):
     x2 = x2_ref[...]
     n_tiles = n // _TILE
+    aug2 = jnp.concatenate([x2, jnp.ones((m, 1), jnp.float32)], axis=1)  # (M, 4)
 
     def dist_tile(t):
         """Squared-distance tile (TILE, M) for x1 rows [t*TILE, (t+1)*TILE).
@@ -132,10 +133,11 @@ def _emd_kernel(
             # rsqrt and the sqrt disappears entirely
             winv = w * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))  # (T, M)
             cost_ref[...] = cost_ref[...] + jnp.sum(winv * jnp.maximum(d2, 0.0))
-            row_sum = jnp.sum(winv, axis=1, keepdims=True)  # (T, 1)
             xt = x1_ref[pl.ds(t * _TILE, _TILE), :]  # (T, 3)
-            wx2 = _dot_bf16x3(winv, x2, (((1,), (0,)), ((), ())))  # (T, 3)
-            grad1_ref[pl.ds(t * _TILE, _TILE), :] += xt * row_sum - wx2
+            # row side in one matmul: winv @ [x2 | 1] -> (T, 4):
+            # cols 0-2 = winv @ x2, col 3 = per-row sum of winv
+            row4 = _dot_bf16x3(winv, aug2, (((1,), (0,)), ((), ())))
+            grad1_ref[pl.ds(t * _TILE, _TILE), :] += xt * row4[:, 3:4] - row4[:, 0:3]
             # column side in one matmul: winv^T @ [x1 | 1] -> (M, 4)
             aug = jnp.concatenate([xt, jnp.ones((_TILE, 1), jnp.float32)], axis=1)
             g2_acc[...] += _dot_bf16x3(winv, aug, (((0,), (0,)), ((), ())))
