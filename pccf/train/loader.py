@@ -74,15 +74,55 @@ class DataLoader:
         targets = _stack([it[1] for it in items])
         return inputs, targets
 
-    def epoch_iterator(self, epoch: int, shuffle: bool = True) -> Iterator[tuple[Inputs, Targets]]:
-        """Training iterator: shuffled by (seed, epoch), drops the tail."""
+    def epoch_iterator(
+        self, epoch: int, shuffle: bool = True, prefetch: int = 2
+    ) -> Iterator[tuple[Inputs, Targets]]:
+        """Training iterator: shuffled by (seed, epoch), drops the tail.
+
+        Batch assembly runs in a background thread ``prefetch`` batches ahead
+        so host-side data work (native resampler, augmentation) overlaps the
+        device step."""
         n = len(self.dataset)
         order = np.arange(n)
         if shuffle:
             np.random.default_rng((self.seed, epoch)).shuffle(order)
-        for b in range(n // self.batch_size):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            yield self._fetch(list(map(int, idx)), inference=False)
+        batches = [
+            list(map(int, order[b * self.batch_size : (b + 1) * self.batch_size]))
+            for b in range(n // self.batch_size)
+        ]
+        if prefetch <= 0 or len(batches) <= 1:
+            for idx in batches:
+                yield self._fetch(idx, inference=False)
+            return
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idx in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._fetch(idx, inference=False))
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def get_loader(self, inference: bool = True) -> Iterator[tuple[Inputs, Targets]]:
         """Evaluation iterator: sequential, includes the trailing partial batch."""
