@@ -23,6 +23,20 @@ from typing import Any
 import yaml
 
 _INTERP_RE = re.compile(r'\$\{([a-zA-Z0-9_.]+)\}')
+# pyyaml implements YAML 1.1, where `1e-3` (no dot) is a *string*; configs and
+# CLI overrides use scientific notation freely, so coerce such strings
+_SCI_RE = re.compile(r'^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$')
+
+
+def _coerce_numbers(node: Any) -> Any:
+    """Recursively convert YAML-1.1 stringified scientific notation to float."""
+    if isinstance(node, str) and _SCI_RE.match(node):
+        return float(node)
+    if isinstance(node, dict):
+        return {k: _coerce_numbers(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_coerce_numbers(v) for v in node]
+    return node
 
 
 class ComposeError(RuntimeError):
@@ -38,7 +52,7 @@ def _read_yaml(path: pathlib.Path) -> tuple[dict[str, Any], str | None]:
         if m:
             package = m.group(1)
             break
-    data = yaml.safe_load(text)
+    data = _coerce_numbers(yaml.safe_load(text))
     if data is None:
         data = {}
     if not isinstance(data, dict):
@@ -171,7 +185,7 @@ def _resolve_interpolations(tree: dict[str, Any]) -> dict[str, Any]:
 
 def _parse_override_value(raw: str) -> Any:
     try:
-        return yaml.safe_load(raw)
+        return _coerce_numbers(yaml.safe_load(raw))
     except yaml.YAMLError:
         return raw
 
@@ -232,6 +246,16 @@ def compose(
     if not root_file.exists():
         raise ComposeError(f'config root {root_file} not found')
     groups, value_overrides = split_overrides(list(overrides or []))
+    # a plain key=value whose key names a config-group directory is a group
+    # selection (Hydra semantics: `tune=learn` selects configs/.../tune/learn.yaml)
+    remaining = []
+    for ov in value_overrides:
+        key = ov.split('=', 1)[0].lstrip('+~')
+        if '=' in ov and '.' not in key and (root_dir / key).is_dir():
+            groups[key] = ov.split('=', 1)[1]
+        else:
+            remaining.append(ov)
+    value_overrides = remaining
     groups = {**groups, **(group_overrides or {})}
     tree = _compose_file(root_file, groups)
     tree = apply_overrides(tree, value_overrides)
