@@ -30,7 +30,14 @@ class EdgeConvBlock(nn.Module):
     ``concat(nbr - x, x) @ W`` equals ``(x @ W_diff)[nbr] + x @ (W_self - W_diff)``
     — two point-wise matmuls plus a feature gather.  This removes the
     ``(B, N, k, 2C)`` edge-feature tensor and cuts the matmul FLOPs by the
-    neighbour count k (identical math to reference encoders.py EdgeConv)."""
+    neighbour count k (identical math to reference encoders.py EdgeConv).
+
+    Eval fast path: the running-stat BN is a per-channel affine, which folds
+    into the per-point features *before* the gather; the per-centre shift is
+    constant over the k neighbours, so ``max`` commutes with it; and a
+    monotone activation commutes with ``max`` — the (B, N, k, F) tensor is
+    produced once by the gather and reduced immediately, with no BN/act
+    passes over it.  Exactly equal to the reference formula."""
 
     features: int
     k: int
@@ -46,11 +53,36 @@ class EdgeConvBlock(nn.Module):
         c = x.shape[-1]
         init = get_kernel_init(self.act_name if self.act is not None else 'linear')
         kernel = self.param('kernel', init, (2 * c, self.features))  # [W_diff; W_self]
+        scale = self.param('bn_scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bn_bias', nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable('batch_stats', 'bn_mean', jnp.zeros, (self.features,))
+        ra_var = self.variable('batch_stats', 'bn_var', jnp.ones, (self.features,))
+        eps, momentum = 1e-5, 0.9
+
         w_diff = kernel[:c]
         u = jnp.dot(x, w_diff)  # (B, N, F): gathered per neighbour
         s = jnp.dot(x, kernel[c:] - w_diff)  # (B, N, F): per-centre term
+
+        monotone = self.act_name in ('', 'LeakyReLU', 'ReLU') or self.act is None
+        if not train and monotone:
+            a = scale * jax.lax.rsqrt(ra_var.value + eps)
+            b = bias - ra_mean.value * a
+            pooled = jnp.max(ops.gather_neighbors(u * a, idx), axis=2)
+            out = pooled + s * a + b
+            return self.act(out) if self.act is not None else out
+
         pre = ops.gather_neighbors(u, idx) + s[:, :, None, :]  # (B, N, k, F)
-        pre = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name='bn')(pre)
+        if train:
+            axes = (0, 1, 2)
+            batch_mean = jnp.mean(pre, axis=axes)
+            batch_var = jnp.mean(jnp.square(pre), axis=axes) - jnp.square(batch_mean)
+            if not self.is_initializing():
+                ra_mean.value = momentum * ra_mean.value + (1 - momentum) * batch_mean
+                ra_var.value = momentum * ra_var.value + (1 - momentum) * batch_var
+            mean, var = batch_mean, batch_var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        pre = (pre - mean) * jax.lax.rsqrt(var + eps) * scale + bias
         if self.act is not None:
             pre = self.act(pre)
         return jnp.max(pre, axis=2)  # (B, N, F)

@@ -44,12 +44,12 @@ def _randomize_bn(variables, rng):
     flat_p = flax.traverse_util.flatten_dict(variables['params'])
     flat_s = flax.traverse_util.flatten_dict(variables['batch_stats'])
     for key, val in list(flat_p.items()):
-        if 'bn' in key and key[-1] in ('scale', 'bias'):
+        if ('bn' in key and key[-1] in ('scale', 'bias')) or key[-1] in ('bn_scale', 'bn_bias'):
             flat_p[key] = jnp.asarray(rng.uniform(0.5, 1.5, val.shape).astype(np.float32))
     for key, val in list(flat_s.items()):
-        if key[-1] == 'mean':
+        if key[-1] in ('mean', 'bn_mean'):
             flat_s[key] = jnp.asarray(rng.normal(0, 0.1, val.shape).astype(np.float32))
-        if key[-1] == 'var':
+        if key[-1] in ('var', 'bn_var'):
             flat_s[key] = jnp.asarray(rng.uniform(0.5, 2.0, val.shape).astype(np.float32))
     return {
         'params': flax.traverse_util.unflatten_dict(flat_p),
@@ -98,25 +98,25 @@ def test_classifier_forward_matches_torch_oracle():
         flat = indices.reshape(b, 1, n * k).expand(-1, c, -1)
         return torch.gather(x, 2, flat).view(b, c, n, k)
 
-    def edge_conv(x, kernel, bn_p, bn_s):
+    def edge_conv(x, blk_p, blk_s):
         nbr = get_neighbours(x, t_idx)  # (B, C, N, k)
         center = x.unsqueeze(3).expand_as(nbr)
         feats = torch.cat([nbr - center, center], dim=1)  # (B, 2C, N, k)
-        w = torch.from_numpy(np.asarray(kernel))  # (2C, F)
+        w = torch.from_numpy(np.asarray(blk_p['kernel']))  # (2C, F)
         z = torch.einsum('bcnk,cf->bfnk', feats, w)
         z = _bn_eval(
             z,
-            torch.from_numpy(np.asarray(bn_p['scale'])),
-            torch.from_numpy(np.asarray(bn_p['bias'])),
-            torch.from_numpy(np.asarray(bn_s['mean'])),
-            torch.from_numpy(np.asarray(bn_s['var'])),
+            torch.from_numpy(np.asarray(blk_p['bn_scale'])),
+            torch.from_numpy(np.asarray(blk_p['bn_bias'])),
+            torch.from_numpy(np.asarray(blk_s['bn_mean'])),
+            torch.from_numpy(np.asarray(blk_s['bn_var'])),
         )
         z = torch.nn.functional.leaky_relu(z, 0.2)
         return z.max(dim=3)[0]  # (B, F, N)
 
     xs = []
     for i in range(2):
-        x = edge_conv(x, p[f'edge_conv_{i}']['kernel'], p[f'edge_conv_{i}']['bn'], s[f'edge_conv_{i}']['bn'])
+        x = edge_conv(x, p[f'edge_conv_{i}'], s[f'edge_conv_{i}'])
         xs.append(x)
     x = torch.cat(xs, dim=1)
     w = torch.from_numpy(np.asarray(p['final_conv']['dense']['kernel']))  # (in, F)
