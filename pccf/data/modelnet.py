@@ -129,11 +129,11 @@ class ModelNet40Dataset(SplitCreator):
 
         self.modelnet_path = user.path.data_dir / 'modelnet40_hdf5_2048'
         if not self.modelnet_path.exists():
-            raise FileNotFoundError(
-                f'ModelNet40 archive not found at {self.modelnet_path}. '
-                f'Download {MODELNET_URL} and extract it there (offline environment: '
-                'no auto-download).'
-            )
+            # fetch on first use (reference modelnet.py:116-118); raises a
+            # FileNotFoundError with manual instructions when offline
+            from pccf.utils.download import download_extract_zip
+
+            download_extract_zip(self.modelnet_path, MODELNET_URL)
         self.pcd: dict[Partitions, Any] = {}
         self.indices: dict[Partitions, Any] = {}
         self.labels: dict[Partitions, Any] = {}

@@ -37,9 +37,18 @@ def initialize_distributed() -> None:
 
 @functools.lru_cache(maxsize=8)
 def get_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """1-D data-parallel mesh over the first ``n_devices`` devices.
+
+    Raises when fewer than ``n_devices`` devices exist — a silently smaller
+    mesh must never masquerade as the requested one.
+    """
     devices = jax.devices()
     if n_devices:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f'requested a {n_devices}-device mesh but only '
+                f'{len(devices)} JAX device(s) are available'
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
@@ -52,12 +61,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, strict: bool = False) -> Any:
     """Device-put every array leaf with the batch axis sharded over ``dp``.
 
-    Leaves whose batch dimension is not divisible by the mesh (trailing
-    evaluation batches) are replicated instead — correct, marginally slower,
-    and only ever hit on the final partial batch of an eval pass."""
+    With ``strict=False`` (evaluation), leaves whose batch dimension is not
+    divisible by the mesh (trailing eval batches) are replicated instead —
+    correct, marginally slower, and only hit on the final partial batch.
+    With ``strict=True`` (training), a non-divisible batch raises so a
+    misconfigured batch size can never silently degrade every step to fully
+    replicated compute (runtime counterpart of the specs.py
+    ``batch_size_per_device`` validator)."""
     sharded = batch_sharding(mesh)
     repl = replicated(mesh)
     n = mesh.devices.size
@@ -66,8 +79,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         if x is None:
             return None
         x = np.asarray(x)
-        use = sharded if x.ndim >= 1 and x.shape[0] % n == 0 else repl
-        return jax.device_put(x, use)
+        divisible = x.ndim >= 1 and x.shape[0] % n == 0
+        if strict and not divisible:
+            raise ValueError(
+                f'training batch dim {x.shape[0]} is not divisible by the '
+                f'{n}-device mesh; fix batch_size (specs.py validator)'
+            )
+        return jax.device_put(x, sharded if divisible else repl)
 
     return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
 

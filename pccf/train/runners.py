@@ -20,6 +20,7 @@ are the better estimator.
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Any, Callable, NamedTuple
 
@@ -36,6 +37,8 @@ from pccf.train.loader import DataLoader
 from pccf.train.model import Model
 from pccf.train.objectives import Objective
 from pccf.train.schedulers import LearningSchema
+
+logger = logging.getLogger('pccf')
 
 Array = jax.Array
 
@@ -156,6 +159,22 @@ class Trainer:
         self.objective = loss.copy()
         self.schema = learning_schema
         self.mesh = get_mesh()
+        n = self.mesh.devices.size
+        if loader.batch_size % n:
+            # never silently degrade to fully-replicated compute: shard over
+            # the largest divisor instead and say so (runtime counterpart of
+            # the specs.py batch_size_per_device validator)
+            import math
+
+            g = math.gcd(loader.batch_size, n)
+            logger.warning(
+                'batch_size %d is not divisible by the %d available devices; '
+                'training on a %d-device mesh instead',
+                loader.batch_size,
+                n,
+                g,
+            )
+            self.mesh = get_mesh(g)
         self.post_epoch_hooks = _HookRegistry()
         self.validation: _Runner | None = None
         self.metrics_log: list[dict[str, float]] = []
@@ -193,7 +212,11 @@ class Trainer:
                 opt_state=opt_state,
                 step=jnp.asarray(self.model.epoch * self._steps_per_epoch(), jnp.int32),
             )
-            self._state = replicate(state, self.mesh)
+            # host round-trip so the (donated) train state never aliases the
+            # model's live buffers — device_put to a replicated sharding may
+            # reuse the source buffer on its own device, and the first train
+            # step would then delete model.variables out from under us
+            self._state = replicate(jax.device_get(state), self.mesh)
         return self._state
 
     def _build_train_step(self):
@@ -237,6 +260,44 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    # ------------------------------------------------------------- public API
+    @property
+    def state(self) -> TrainState:
+        """Live optimisation state (read-only view; built on first access)."""
+        return self._ensure_state()
+
+    def prepare(self) -> None:
+        """Build the optimiser state and the jitted sharded train step.
+
+        Idempotent.  Public entry point for single-step driving (the driver's
+        ``dryrun_multichip``, tests) — after ``prepare()``, :meth:`run_step`
+        executes one optimisation step without touching Trainer internals.
+        """
+        self._ensure_state()
+        if self._train_fn is None:
+            self._train_fn = self._build_train_step()
+
+    def run_step(
+        self, inputs: Any, targets: Any, rng: Array | None = None, epoch: float | None = None
+    ) -> dict[str, float]:
+        """Run ONE jitted training step on a host batch; returns host metrics.
+
+        The batch is sharded over the trainer's ``dp`` mesh (strict: the batch
+        dim must divide the mesh), the step donates and replaces the live
+        optimisation state, and metrics come back as plain floats.
+        """
+        self.prepare()
+        if rng is None:
+            rng = jax.random.key(self.model.seed + 1000)
+        if epoch is None:
+            epoch = float(self.model.epoch + 1)
+        binputs = shard_batch(inputs, self.mesh, strict=True)
+        btargets = shard_batch(targets, self.mesh, strict=True)
+        self._state, metrics = self._train_fn(
+            self._state, binputs, btargets, rng, jnp.asarray(epoch, jnp.float32)
+        )
+        return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
     # ------------------------------------------------------------- training
     def train_until(self, n_epochs: int) -> None:
         """Train from the model's current epoch up to ``n_epochs``."""
@@ -251,15 +312,17 @@ class Trainer:
                 self.objective.reset_state()
                 for i, (inputs, targets) in enumerate(self.loader.epoch_iterator(epoch)):
                     rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
-                    binputs = shard_batch(inputs, self.mesh)
-                    btargets = shard_batch(targets, self.mesh)
+                    binputs = shard_batch(inputs, self.mesh, strict=True)
+                    btargets = shard_batch(targets, self.mesh, strict=True)
                     state, metrics = self._train_fn(state, binputs, btargets, rng, epoch_arr)
                     self.objective.update_state(jax.device_get(metrics), 1)
                 self._state = state
                 self.model.epoch = epoch
                 self._sync_model(state)
                 epoch_metrics = self.objective.compute_metrics()
-                epoch_metrics['lr'] = self.schema.lr_at(epoch)
+                # the optimizer schedule is step//steps_per_epoch (0-based), so
+                # epoch N trains with schedule(N-1) — log the lr actually applied
+                epoch_metrics['lr'] = self.schema.lr_at(epoch - 1)
                 epoch_metrics['epoch_time_s'] = time.time() - t0
                 self.metrics_log.append(epoch_metrics)
                 self._check_convergence(epoch_metrics)

@@ -1,0 +1,82 @@
+"""Tensor-parallel training over a 2-D ``(dp, mp)`` mesh.
+
+This makes the TP capability real rather than a layout demo: the SAME jitted
+train step the :class:`~pccf.train.runners.Trainer` compiles for data
+parallelism is invoked with column-sharded parameters (and a matching
+optimiser state) plus a ``dp``-sharded batch.  Under GSPMD the activation
+all-gathers over ``mp`` and the gradient reduce-scatters are derived by XLA
+from the parameter layout alone — no hand-written collectives.
+
+The reference framework is data-parallel only (SURVEY §2.7,
+src/utils/parallel.py:17-66); TP is a pccf extension for scaling the large
+dense/transformer kernels past one chip's HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pccf.dist.sharding import shard_params_tp
+
+
+def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
+    """TrainState with column-parallel params and a matching optimiser state.
+
+    The optimiser state is initialised under jit from the sharded parameters,
+    so its leaves inherit the parameter layout via sharding propagation.
+    """
+    from pccf.train.runners import TrainState
+
+    trainer.prepare()
+    params = shard_params_tp(jax.device_get(trainer.model.params), mesh, min_size=min_size)
+    opt_state = jax.jit(trainer._tx.init)(params)
+    stats = trainer.model.batch_stats
+    stats = jax.device_get(stats) if stats is not None else {}
+    return TrainState(
+        params=params, batch_stats=stats, opt_state=opt_state, step=jnp.asarray(0, jnp.int32)
+    )
+
+
+def _put_dp(batch: Any, mesh: Mesh) -> Any:
+    dp = NamedSharding(mesh, P('dp'))
+    return jax.tree.map(
+        lambda x: None if x is None else jax.device_put(np.asarray(x), dp),
+        batch,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def tp_train_step(
+    trainer: Any,
+    mesh: Mesh,
+    inputs: Any,
+    targets: Any,
+    rng: jax.Array,
+    epoch: float,
+    min_size: int = 32,
+    return_state: bool = False,
+):
+    """Run ONE tensor-parallel training step; returns host metrics.
+
+    ``mesh`` must carry ``('dp', 'mp')`` axes (see
+    :func:`pccf.dist.sharding.make_2d_mesh`).  The step compiles a TP variant
+    of the trainer's train step — same math, different layout — so metrics and
+    updated parameters match the data-parallel step to float tolerance
+    (asserted by tests/test_tp.py).
+    """
+    state = tp_state(trainer, mesh, min_size=min_size)
+    binputs = _put_dp(inputs, mesh)
+    btargets = _put_dp(targets, mesh)
+    new_state, metrics = trainer._train_fn(
+        state, binputs, btargets, rng, jnp.asarray(epoch, jnp.float32)
+    )
+    jax.block_until_ready(new_state.params)
+    host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    if return_state:
+        return host_metrics, new_state
+    return host_metrics

@@ -1,0 +1,127 @@
+"""Tensor parallelism correctness: TP forward/train step == replicated math.
+
+Runs on the 8-device virtual CPU mesh (conftest).  These are numerical
+equivalence tests, not shard-shape checks: the column-parallel layout must
+produce the same outputs, metrics, and parameter updates as the plain
+data-parallel step, because GSPMD only changes *where* the math happens.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pccf.config import get_config_all
+from pccf.data.structures import Inputs, Targets
+from pccf.dist import get_mesh
+from pccf.dist.sharding import make_2d_mesh, shard_params_tp
+from pccf.models import get_autoencoder
+from pccf.train import (
+    DataLoader,
+    Model,
+    Trainer,
+    get_autoencoder_loss,
+    get_learning_schema,
+    tp_train_step,
+)
+
+TINY = [
+    'data/dataset=synthetic',
+    'data.dataset.n_classes=2',
+    'data.n_input_points=128',
+    'data.n_target_points=128',
+    'data.n_neighbors=8',
+    'autoencoder.model.w_dim=64',
+    'autoencoder.model.embedding_dim=4',
+    'autoencoder.model.book_size=8',
+    'autoencoder.model.encoder.n_neighbors=8',
+    'autoencoder.model.decoder.map_dims=[16]',
+    'autoencoder.model.decoder.conv_dims=[32,16]',
+    'autoencoder.model.decoder.n_components=2',
+    'autoencoder.model.decoder.sample_dim=4',
+    'autoencoder.objective.recon_loss=Chamfer',
+    'autoencoder.train.batch_size=16',
+    'user.seed=0',
+]
+
+BATCH = 16
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = get_config_all(TINY)
+    module = get_autoencoder(cfg)
+    rng = np.random.default_rng(0)
+    cloud = rng.standard_normal((BATCH, 128, 3)).astype(np.float32)
+    inputs = Inputs(cloud=cloud)
+    targets = Targets(ref_cloud=cloud, label=np.zeros(BATCH, np.int64))
+    model = Model(module, name='tp-test', seed=0)
+    model.initialize(Inputs(cloud=cloud[:1]), np.zeros((1, 2), np.float32), method='full_init')
+
+    class _DS:
+        def __len__(self):
+            return BATCH
+
+        def __getitem__(self, i):
+            return (Inputs(cloud=cloud[i]), Targets(ref_cloud=cloud[i], label=np.int64(0)))
+
+    trainer = Trainer(
+        model,
+        DataLoader(_DS(), BATCH),
+        get_autoencoder_loss(cfg),
+        get_learning_schema(cfg.autoencoder),
+    )
+    trainer.mesh = get_mesh(8)
+    return cfg, module, model, trainer, inputs, targets
+
+
+class TestTensorParallel:
+    def test_tp_forward_matches_replicated(self, setup):
+        _, module, model, _, inputs, _ = setup
+        mesh2 = make_2d_mesh(8, mp=2)
+        rngs = {'sampling': jax.random.key(7)}
+
+        ref = module.apply(model.variables, inputs, train=False, rngs=rngs).recon
+        ref = np.asarray(jax.device_get(ref))
+
+        variables_tp = dict(model.variables)
+        variables_tp['params'] = shard_params_tp(
+            jax.device_get(model.params), mesh2, min_size=32
+        )
+        out = jax.jit(
+            lambda v, x: module.apply(v, x, train=False, rngs=rngs).recon
+        )(variables_tp, inputs)
+        out = np.asarray(jax.device_get(out))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_tp_train_step_matches_dp(self, setup):
+        _, _, model, trainer, inputs, targets = setup
+        key = jax.random.key(3)
+
+        # TP first (reads model.params, leaves trainer state untouched)
+        mesh2 = make_2d_mesh(8, mp=2)
+        tp_metrics, tp_state_out = tp_train_step(
+            trainer, mesh2, inputs, targets, rng=key, epoch=1.0, min_size=32, return_state=True
+        )
+        dp_metrics = trainer.run_step(inputs, targets, rng=key, epoch=1.0)
+
+        for name, dp_val in dp_metrics.items():
+            assert tp_metrics[name] == pytest.approx(dp_val, rel=1e-4, abs=1e-5), name
+
+        dp_params = jax.device_get(trainer.state.params)
+        tp_params = jax.device_get(tp_state_out.params)
+        flat_dp = jax.tree.leaves(dp_params)
+        flat_tp = jax.tree.leaves(tp_params)
+        assert len(flat_dp) == len(flat_tp)
+        for a, b in zip(flat_dp, flat_tp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+    def test_tp_actually_shards(self, setup):
+        _, _, model, _, _, _ = setup
+        mesh2 = make_2d_mesh(8, mp=2)
+        params = shard_params_tp(jax.device_get(model.params), mesh2, min_size=32)
+        n_sharded = sum(
+            1
+            for leaf in jax.tree.leaves(params)
+            if hasattr(leaf, 'sharding') and not leaf.sharding.is_fully_replicated
+        )
+        assert n_sharded > 0, 'no parameter was actually column-sharded'

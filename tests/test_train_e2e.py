@@ -149,7 +149,7 @@ class TestClassifierE2E:
             trainer2.load_checkpoint()
             assert model2.epoch == 1
             # optimizer state restored (momentum buffers nonzero after 1 epoch)
-            state = trainer2._ensure_state()
+            state = trainer2.state
             leaves = [np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(state.opt_state)]
             assert any(l > 0 for l in leaves)
             trainer2.train_until(2)
