@@ -37,11 +37,16 @@ def chamfer(x: Array, y: Array, reduction: str = 'mean') -> Array:
 
 
 def match_cost(x: Array, y: Array) -> Array:
-    """ApproxMatch EMD ``(B,)`` — fused Pallas kernel on TPU, jnp elsewhere."""
-    if _use_pallas() and x.shape[1] % 256 == 0:
-        from pccf.kernels.pallas_emd import match_cost_tpu
+    """ApproxMatch EMD ``(B,)`` — fused Pallas kernel on TPU, jnp elsewhere.
 
-        return match_cost_tpu(x, y)
+    The Pallas kernel keeps three f32 ``(N, M)`` caches VMEM-resident, so it
+    dispatches only when they fit (always true for the reference's canonical
+    2048-point workloads); larger clouds fall back to the jnp path."""
+    if _use_pallas() and x.shape[1] % 512 == 0 and y.shape[1] % 128 == 0:
+        from pccf.kernels.pallas_emd import emd_fits_vmem, match_cost_tpu
+
+        if emd_fits_vmem(x.shape[1], y.shape[1]):
+            return match_cost_tpu(x, y)
     return ops.match_cost(x, y)
 
 

@@ -55,7 +55,7 @@ class TestPallasParity:
         from pccf.kernels import ops
         from pccf.kernels.pallas_emd import match_cost_tpu
 
-        xs, ys = self.x[:, :256] / 2, self.y[:, :256] / 2
+        xs, ys = self.x / 2, self.y / 2  # 512 pts: one full kernel tile
         # the Pallas kernel computes d2 by coordinate expansion (like the CUDA
         # reference); the golden jnp uses the matmul identity — coarse
         # relaxation levels amplify the f32 difference, hence the tolerance
