@@ -23,6 +23,7 @@ import time
 import numpy as np
 
 A100_EST_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
+A100_EST_CF_SAMPLES_PER_S = 900.0  # counterfactual decode estimate, see BASELINE.md
 
 
 def _marginal_scan_time(step_fn, args, k_short=2, k_long=12) -> float:
@@ -116,9 +117,13 @@ def bench_counterfactual(batch=16, n=2048):
         return cloud_c + 1e-3 * recon, logits_c
 
     dt = _marginal_scan_time(
-        step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), k_short=1, k_long=5
+        step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), k_short=1, k_long=9
     )
-    return {'counterfactual_samples_per_s': batch / dt, 'counterfactual_batch_ms': dt * 1e3}
+    return {
+        'counterfactual_samples_per_s': batch / dt,
+        'counterfactual_batch_ms': dt * 1e3,
+        'counterfactual_vs_baseline': batch / dt / A100_EST_CF_SAMPLES_PER_S,
+    }
 
 
 def main() -> None:

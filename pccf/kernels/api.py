@@ -62,10 +62,32 @@ def knn(x: Array, k: int, *, approx: bool = False) -> Array:
     return ops.knn(x, k)
 
 
+def graph_max_pool(x: Array, idx: Array) -> Array:
+    """Max over the k gathered neighbours ``(B, N, C)`` — Pallas kernel on
+    TPU (6x the XLA gather route, which is index-processing-bound), jnp
+    elsewhere."""
+    if _use_pallas():
+        from pccf.kernels.pallas_gather import gather_pool_supported, graph_max_pool_tpu
+
+        if gather_pool_supported(x.shape[1], x.shape[2]):
+            return graph_max_pool_tpu(x, idx)
+    return ops.graph_max_pool(x, idx)
+
+
+def gather_neighbors(x: Array, idx: Array) -> Array:
+    """Neighbour features ``(B, N, k, C)`` — Pallas row gather on TPU."""
+    if _use_pallas():
+        from pccf.kernels.pallas_gather import gather_pool_supported, gather_neighbors_tpu
+
+        if gather_pool_supported(x.shape[1], x.shape[2]):
+            return gather_neighbors_tpu(x, idx)
+    return ops.gather_neighbors(x, idx)
+
+
 def graph_filtering(x: Array, k: int = 4) -> Array:
     """PCGen output sharpening with the dispatched kNN backend."""
     idx = knn(x, k)
-    return ops.graph_filtering_with_idx(x, idx)
+    return ops.graph_filtering_with_idx(x, idx, gather_fn=gather_neighbors)
 
 
 def nn_distance(x: Array, y: Array):

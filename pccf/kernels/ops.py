@@ -146,9 +146,9 @@ def graph_filtering(x: Array, k: int = 4) -> Array:
     return graph_filtering_with_idx(x, knn(x, k))
 
 
-def graph_filtering_with_idx(x: Array, idx: Array) -> Array:
+def graph_filtering_with_idx(x: Array, idx: Array, gather_fn=None) -> Array:
     """Graph filtering with precomputed neighbour indices (self first)."""
-    neigh = gather_neighbors(x, idx)[:, :, 1:, :]  # drop self
+    neigh = (gather_fn or gather_neighbors)(x, idx)[:, :, 1:, :]  # drop self
     diff = x[:, :, None, :] - neigh  # (B, N, k-1, 3)
     # epsilon guards sqrt'(0): duplicate decoded points would otherwise put
     # NaNs into the backward pass (the reference's sqrt(abs(.)) has the same

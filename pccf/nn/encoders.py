@@ -67,11 +67,11 @@ class EdgeConvBlock(nn.Module):
         if not train and monotone:
             a = scale * jax.lax.rsqrt(ra_var.value + eps)
             b = bias - ra_mean.value * a
-            pooled = jnp.max(ops.gather_neighbors(u * a, idx), axis=2)
+            pooled = kapi.graph_max_pool(u * a, idx)
             out = pooled + s * a + b
             return self.act(out) if self.act is not None else out
 
-        pre = ops.gather_neighbors(u, idx) + s[:, :, None, :]  # (B, N, k, F)
+        pre = kapi.gather_neighbors(u, idx) + s[:, :, None, :]  # (B, N, k, F)
         if train:
             axes = (0, 1, 2)
             batch_mean = jnp.mean(pre, axis=axes)
@@ -134,7 +134,7 @@ class LDGCNNEncoder(nn.Module):
         x = EdgeConvBlock(self.conv_dims[0], self.n_neighbors, None, '', name='edge_conv')(cloud, idx, train)
         xs = [x]
         for i, f in enumerate(self.conv_dims[1:]):
-            x = ops.graph_max_pool(x, idx)
+            x = kapi.graph_max_pool(x, idx)
             x = DenseBlock(f, act=self.act, act_name=self.act_name, name=f'points_conv_{i}')(x, train)
             xs.append(x)
         x = jnp.concatenate(xs, axis=-1)

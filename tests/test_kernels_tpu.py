@@ -66,3 +66,52 @@ class TestPallasParity:
         g1t, g2t = jax.grad(lambda a, b: jnp.sum(match_cost_tpu(a, b)), argnums=(0, 1))(xs, ys)
         np.testing.assert_allclose(np.asarray(g1t), np.asarray(g1r), atol=5e-3)
         np.testing.assert_allclose(np.asarray(g2t), np.asarray(g2r), atol=5e-3)
+
+    def test_graph_max_pool(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_gather import graph_max_pool_tpu
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 512, 64)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 512, (2, 512, 25)).astype(np.int32))
+        out = graph_max_pool_tpu(x, idx)
+        ref = ops.graph_max_pool(x, idx)
+        assert (np.asarray(out) != np.asarray(ref)).sum() == 0  # bit-exact
+
+        # backward: cotangent routed to the argmax rows (matches XLA max+gather)
+        gt = jax.grad(lambda a: jnp.sum(graph_max_pool_tpu(a, idx) ** 2))(x)
+        gr = jax.grad(lambda a: jnp.sum(ops.graph_max_pool(a, idx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-5)
+
+    def test_knn_packed_extraction(self):
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_knn import knn_tpu
+
+        idx = np.asarray(knn_tpu(self.x, 25))
+        ref = np.asarray(ops.knn(self.x, 25))
+        # neighbour SETS must agree (packed keys may reorder exact ties)
+        for b in range(idx.shape[0]):
+            for i in range(0, idx.shape[1], 17):
+                assert set(idx[b, i]) == set(ref[b, i]), (b, i)
+
+    def test_gather_neighbors(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_gather import gather_neighbors_tpu
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 512, 32)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 512, (2, 512, 4)).astype(np.int32))
+        out = gather_neighbors_tpu(x, idx)
+        ref = ops.gather_neighbors(x, idx)
+        assert (np.asarray(out) != np.asarray(ref)).sum() == 0
+        gt = jax.grad(lambda a: jnp.sum(gather_neighbors_tpu(a, idx) ** 2))(x)
+        gr = jax.grad(lambda a: jnp.sum(ops.gather_neighbors(a, idx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-5)
