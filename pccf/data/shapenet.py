@@ -1,13 +1,21 @@
-"""ShapeNet (PointFlow PC15k layout) dataset (reference src/data/shapenet.py)."""
+"""ShapeNet loader over the PointFlow ``ShapeNetCore.v2.PC15k`` layout.
+
+Capability parity with reference ``src/data/shapenet.py`` (same directory
+contract: ``<synset>/<train|val|test>/<id>.npy`` 15k-point clouds; class
+selection through ``shapenet_PointFlow_classes.json``; train_val = train+val;
+without-replacement subsampling to ``n_input_points`` with an optional
+disjoint reference resample). The implementation is pccf's own: clouds are
+normalised at load into one stacked ``(K, 15000, 3)`` array, labels are a
+vectorised synset-rank lookup, and sampling uses an explicit seeded
+``np.random.Generator`` instead of process-global state.
+"""
 
 from __future__ import annotations
 
 import json
 import pathlib
-from typing import Any
 
 import numpy as np
-from numpy import typing as npt
 
 from pccf.data.augmentations import augment_clouds, normalise
 from pccf.data.protocols import Partitions, PointCloudDataset, SplitCreator
@@ -15,73 +23,88 @@ from pccf.data.structures import Inputs, Targets
 
 SHAPENET_LINK = 'https://drive.google.com/drive/folders/1G0rf-6HSHoTll6aH7voh-dXj6hCRhSAQ'
 
+# Which layout subfolders feed each partition. train_val is the union used by
+# the ``final`` pipeline stage.
+_PARTITION_SOURCES: dict[Partitions, tuple[str, ...]] = {
+    Partitions.train: ('train',),
+    Partitions.val: ('val',),
+    Partitions.test: ('test',),
+    Partitions.train_val: ('train', 'val'),
+}
+
 
 class ShapenetFlowSplit(PointCloudDataset):
-    """15k-point clouds sampled to n_input_points without replacement
-    (reference shapenet.py:18-59)."""
+    """One partition of PC15k clouds, subsampled per access.
+
+    Every ``__getitem__`` draws ``n_input_points`` indices without
+    replacement from the 15k pool; with ``resample`` on, a second disjoint
+    draw of the same size becomes the reference cloud (so input and target
+    never share a point — the trait the Chamfer/EMD losses rely on).
+    """
 
     def __init__(self, paths: list[pathlib.Path], cfg_data, seed: int = 0) -> None:
         self.input_points = cfg_data.n_input_points
         self.resample = cfg_data.resample
         self.augment = augment_clouds(cfg_data)
         self.rng = np.random.default_rng(seed)
-        self.pcd: list[npt.NDArray[Any]] = []
-        folder_ids = []
+        clouds = []
+        synsets = []
         for path in paths:
-            pc, _scale = normalise(np.load(path))
-            self.pcd.append(pc.astype(np.float32))
-            folder_ids.append(path.parent.parent.name)
-        id_map = {fid: i for i, fid in enumerate(sorted(set(folder_ids)))}
-        self.labels = [id_map[fid] for fid in folder_ids]
+            unit_cloud, _ = normalise(np.load(path))
+            clouds.append(np.asarray(unit_cloud, dtype=np.float32))
+            synsets.append(path.parent.parent.name)
+        self.clouds = np.stack(clouds) if clouds else np.zeros((0, 0, 3), np.float32)
+        # label = rank of the synset id among those present in this split
+        rank = {s: i for i, s in enumerate(sorted(set(synsets)))}
+        self.labels = np.fromiter((rank[s] for s in synsets), dtype=np.int64, count=len(synsets))
 
     def __len__(self) -> int:
-        return len(self.pcd)
+        return int(self.clouds.shape[0])
 
     def __getitem__(self, index: int) -> tuple[Inputs, Targets]:
-        np_cloud = self.pcd[index]
-        label = np.int64(self.labels[index])
-        pool = np_cloud.shape[0]
+        cloud = self.clouds[index]
+        n = self.input_points
+        draw = 2 * n if self.resample else n
+        picks = self.rng.choice(cloud.shape[0], size=draw, replace=False)
         if self.resample:
-            sampling = self.rng.choice(pool, size=2 * self.input_points, replace=False)
-            inp = np_cloud[sampling[: self.input_points]]
-            ref = np_cloud[sampling[self.input_points :]]
-            inp, ref = self.augment(self.rng, [inp, ref])
+            inp, ref = self.augment(self.rng, [cloud[picks[:n]], cloud[picks[n:]]])
         else:
-            sampling = self.rng.choice(pool, size=self.input_points, replace=False)
-            inp = np_cloud[sampling]
-            (inp,) = self.augment(self.rng, [inp])
+            (inp,) = self.augment(self.rng, [cloud[picks]])
             ref = inp
-        return Inputs(cloud=inp), Targets(ref_cloud=ref, label=label)
+        return Inputs(cloud=inp), Targets(ref_cloud=ref, label=np.int64(self.labels[index]))
 
 
 class ShapeNetDatasetFlow(SplitCreator):
-    """Directory-walk split creator over ShapeNetCore.v2.PC15k
-    (reference shapenet.py:62-100)."""
+    """Split creator walking the ``ShapeNetCore.v2.PC15k`` tree once."""
 
     def __init__(self, cfg) -> None:
         self.cfg = cfg
-        user = cfg.user
-        with open(user.path.metadata_dir / 'shapenet_PointFlow_classes.json') as f:
-            self.classes = json.load(f)
-        self.shapenet_path = user.path.data_dir / 'ShapeNetCore.v2.PC15k'
+        meta = cfg.user.path.metadata_dir / 'shapenet_PointFlow_classes.json'
+        synset_to_name: dict[str, str] = json.loads(meta.read_text())
+        self.shapenet_path = cfg.user.path.data_dir / 'ShapeNetCore.v2.PC15k'
         if not self.shapenet_path.exists():
             raise FileNotFoundError(
-                f'ShapeNet PC15k not found at {self.shapenet_path}; download from {SHAPENET_LINK}'
+                f'ShapeNet PC15k not found at {self.shapenet_path}; '
+                f'download from {SHAPENET_LINK}'
             )
-        folders: Any = list(self.shapenet_path.glob('*'))
+        synset_dirs = sorted(p for p in self.shapenet_path.iterdir() if p.is_dir())
         if cfg.data.dataset.n_classes < 55:
-            selected = cfg.data.dataset.settings['select_classes']
-            folders = [f for f in folders if self.classes.get(f.name) in selected]
-            assert folders, 'class is not in dataset'
-        self.paths: dict[Partitions, list[pathlib.Path]] = {}
-        for folder in folders:
-            train = sorted((folder / 'train').glob('*'))
-            val = sorted((folder / 'val').glob('*'))
-            test = sorted((folder / 'test').glob('*'))
-            self.paths.setdefault(Partitions.train, []).extend(train)
-            self.paths.setdefault(Partitions.train_val, []).extend(train + val)
-            self.paths.setdefault(Partitions.val, []).extend(val)
-            self.paths.setdefault(Partitions.test, []).extend(test)
+            wanted = set(cfg.data.dataset.settings['select_classes'])
+            synset_dirs = [d for d in synset_dirs if synset_to_name.get(d.name) in wanted]
+            if not synset_dirs:
+                raise ValueError(
+                    f'none of the selected classes {sorted(wanted)} exist '
+                    f'under {self.shapenet_path}'
+                )
+        self.paths = {
+            part: [
+                f
+                for d in synset_dirs
+                for sub in subs
+                for f in sorted((d / sub).glob('*'))
+            ]
+            for part, subs in _PARTITION_SOURCES.items()
+        }
 
     def split(self, split: Partitions) -> ShapenetFlowSplit:
         return ShapenetFlowSplit(self.paths[split], self.cfg.data, seed=self.cfg.user.seed or 0)

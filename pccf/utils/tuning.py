@@ -5,7 +5,9 @@ engine covering everything the reference uses (tune_autoencoder.py,
 tune_w_autoencoder.py, src/utils/tuning.py, drytorch.contrib.optuna):
 
 - sqlite-backed ``Study`` with resumable trials, direction, user attrs;
-- samplers: random and a TPE-style quantile sampler;
+- samplers: random, a TPE-style quantile sampler, and a Gaussian-process
+  sampler with expected-improvement acquisition (the reference studies run
+  ``optuna.samplers.GPSampler`` — tune_autoencoder.py:60);
 - ``MedianPruner`` (n_startup_trials / n_warmup_steps / interval_steps /
   n_min_trials);
 - ``Trial.suggest_{float,int,categorical}`` + the variable-length
@@ -98,7 +100,10 @@ class RandomSampler:
     def __init__(self, seed: int = 0) -> None:
         self.rng = np.random.default_rng(seed)
 
-    def sample(self, study: 'Study', name: str, dist: dict[str, Any]) -> Any:
+    def sample(
+        self, study: 'Study', name: str, dist: dict[str, Any], trial: 'Trial | None' = None
+    ) -> Any:
+        del trial
         return _sample_from_dist(self.rng, dist)
 
 
@@ -111,7 +116,10 @@ class TPESampler(RandomSampler):
         self.n_startup = n_startup
         self.gamma = gamma
 
-    def sample(self, study: 'Study', name: str, dist: dict[str, Any]) -> Any:
+    def sample(
+        self, study: 'Study', name: str, dist: dict[str, Any], trial: 'Trial | None' = None
+    ) -> Any:
+        del trial
         completed = [
             t for t in study.get_trials()
             if t.state == TrialState.COMPLETE and t.value is not None and name in t.params
@@ -133,6 +141,148 @@ class TPESampler(RandomSampler):
             val = self.rng.normal(float(base), sigma)
         val = min(max(val, low), high)
         return int(round(val)) if kind == 'int' else float(val)
+
+
+class GPSampler(RandomSampler):
+    """Gaussian-process sampler with expected-improvement acquisition.
+
+    Native stand-in for ``optuna.samplers.GPSampler`` (the sampler the
+    reference studies run — /root/reference/tune_autoencoder.py:60,
+    tune_w_autoencoder.py:86).  Because pccf samples one parameter at a
+    time, each suggestion maximises EI *conditionally*: candidate vectors fix
+    the parameters this trial has already chosen, vary ``name`` over its
+    distribution, and marginalise the not-yet-suggested keys with random
+    fills.  The GP is an RBF kernel over [0, 1]-normalised parameters
+    (log-warped for log distributions) with a median-heuristic lengthscale
+    and standardised targets.
+    """
+
+    def __init__(
+        self,
+        seed: int = 0,
+        n_startup: int = 10,
+        n_candidates: int = 512,
+        noise: float = 1e-4,
+        max_fit_trials: int = 200,
+        explore_prob: float = 0.05,
+    ) -> None:
+        super().__init__(seed)
+        self.n_startup = n_startup
+        self.n_candidates = n_candidates
+        self.noise = noise
+        self.max_fit_trials = max_fit_trials
+        self.explore_prob = explore_prob
+
+    def sample(
+        self, study: 'Study', name: str, dist: dict[str, Any], trial: 'Trial | None' = None
+    ) -> Any:
+        completed = [
+            t for t in study.get_trials()
+            if t.state == TrialState.COMPLETE and t.value is not None and name in t.params
+        ]
+        if len(completed) < self.n_startup or self.rng.random() < self.explore_prob:
+            return _sample_from_dist(self.rng, dist)
+        completed = completed[-self.max_fit_trials:]
+
+        keys = sorted(set.intersection(*(set(t.params) for t in completed)))
+        if name not in keys:
+            return _sample_from_dist(self.rng, dist)
+        encoders = {
+            k: (_DistEncoder(dist) if k == name else _ValueEncoder([t.params[k] for t in completed]))
+            for k in keys
+        }
+        x_fit = np.array([[encoders[k].encode(t.params[k]) for k in keys] for t in completed])
+        y = np.array([t.value for t in completed], dtype=np.float64)
+        if study.direction == 'minimize':
+            y = -y  # GP/EI below maximise
+        y_std = y.std()
+        y_n = (y - y.mean()) / (y_std if y_std > 1e-12 else 1.0)
+
+        # candidate matrix: already-chosen params fixed, `name` swept over its
+        # distribution, future params filled uniformly (marginalised).
+        chosen = dict(trial.params) if trial is not None else {}
+        n_c = self.n_candidates
+        cand = self.rng.uniform(size=(n_c, len(keys)))
+        raw_name: list[Any] = []
+        for j, k in enumerate(keys):
+            if k == name:
+                raw_name = [_sample_from_dist(self.rng, dist) for _ in range(n_c)]
+                cand[:, j] = [encoders[k].encode(v) for v in raw_name]
+            elif k in chosen:
+                cand[:, j] = encoders[k].encode(chosen[k])
+
+        ei = _gp_expected_improvement(x_fit, y_n, cand, self.noise)
+        return raw_name[int(np.argmax(ei))]
+
+
+class _DistEncoder:
+    """[0,1] encoding driven by the live distribution spec."""
+
+    def __init__(self, dist: dict[str, Any]) -> None:
+        self.dist = dist
+
+    def encode(self, value: Any) -> float:
+        d = self.dist
+        if d['kind'] == 'categorical':
+            choices = d['choices']
+            idx = choices.index(value) if value in choices else 0
+            return idx / max(1, len(choices) - 1)
+        low, high = float(d['low']), float(d['high'])
+        if d.get('log'):
+            low, high, value = math.log(low), math.log(high), math.log(float(value))
+        else:
+            value = float(value)
+        span = high - low
+        return (value - low) / span if span > 0 else 0.5
+
+
+class _ValueEncoder:
+    """[0,1] encoding of an already-observed parameter column (its original
+    distribution spec is not persisted, so normalise empirically)."""
+
+    def __init__(self, values: list[Any]) -> None:
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in values):
+            self.categories: list[Any] | None = None
+            self.low = float(min(values))
+            self.high = float(max(values))
+        else:
+            self.categories = sorted({repr(v) for v in values})
+            self.low = 0.0
+            self.high = float(max(1, len(self.categories) - 1))
+
+    def encode(self, value: Any) -> float:
+        if self.categories is not None:
+            r = repr(value)
+            pos = self.categories.index(r) if r in self.categories else 0
+            return pos / self.high if self.high > 0 else 0.5
+        span = self.high - self.low
+        return (float(value) - self.low) / span if span > 0 else 0.5
+
+
+def _gp_expected_improvement(
+    x_fit: np.ndarray, y: np.ndarray, cand: np.ndarray, noise: float
+) -> np.ndarray:
+    """EI of maximisation-form targets under an RBF GP posterior."""
+    d2 = ((x_fit[:, None, :] - x_fit[None, :, :]) ** 2).sum(-1)
+    off = d2[np.triu_indices_from(d2, k=1)]
+    med = np.median(off[off > 0]) if np.any(off > 0) else 1.0
+    ls2 = max(med, 1e-8)
+    k_xx = np.exp(-0.5 * d2 / ls2) + noise * np.eye(len(x_fit))
+    chol = np.linalg.cholesky(k_xx)
+    alpha = np.linalg.solve(chol.T, np.linalg.solve(chol, y))
+
+    d2_c = ((cand[:, None, :] - x_fit[None, :, :]) ** 2).sum(-1)
+    k_c = np.exp(-0.5 * d2_c / ls2)
+    mu = k_c @ alpha
+    v = np.linalg.solve(chol, k_c.T)
+    var = np.maximum(1.0 - (v**2).sum(0), 1e-12)
+    sigma = np.sqrt(var)
+
+    best = y.max()
+    z = (mu - best) / sigma
+    cdf = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
+    pdf = np.exp(-0.5 * z**2) / math.sqrt(2.0 * math.pi)
+    return (mu - best) * cdf + sigma * pdf
 
 
 def _sample_from_dist(rng: np.random.Generator, dist: dict[str, Any]) -> Any:
@@ -174,7 +324,7 @@ class Trial:
     def _suggest(self, name: str, dist: dict[str, Any]) -> Any:
         if name in self.params:
             return self.params[name]
-        value = self.study.sampler.sample(self.study, name, dist)
+        value = self.study.sampler.sample(self.study, name, dist, trial=self)
         self.params[name] = value
         self.study._save_trial(self)
         return value
@@ -444,6 +594,21 @@ def visualize_study(study: Study, save_dir: str | pathlib.Path, renderer: str = 
         plt.close(fig)
         out.append(p)
     return out
+
+
+def make_sampler(kind: str, n_startup: int = 10, seed: int = 0) -> RandomSampler:
+    """Config-driven sampler selection (``configs/tuning/optuna.yaml``).
+
+    ``gp`` matches the reference's optuna GPSampler choice
+    (/root/reference/tune_autoencoder.py:60)."""
+    kinds = {
+        'gp': lambda: GPSampler(seed=seed, n_startup=n_startup),
+        'tpe': lambda: TPESampler(seed=seed, n_startup=n_startup),
+        'random': lambda: RandomSampler(seed=seed),
+    }
+    if kind not in kinds:
+        raise ValueError(f'Unknown sampler {kind!r}; choose from {sorted(kinds)}')
+    return kinds[kind]()
 
 
 def get_study_name(version: str, variation: str, tuning_scheme: str, overrides: list[str]) -> str:

@@ -136,3 +136,57 @@ class TestSuggestOverrides:
         study = make_study(tmp_path)
         with pytest.raises(TrialPruned):
             tuning.impute_pruned_trial(tuning.Trial(study, 0))
+
+
+class TestGPSampler:
+    """GP sampler (reference runs optuna GPSampler, tune_autoencoder.py:60)."""
+
+    @staticmethod
+    def _branin_like(trial):
+        # smooth 2-D objective with a single basin at (0.3, -0.7)
+        x = trial.suggest_float('x', -1.0, 1.0)
+        y = trial.suggest_float('y', -1.0, 1.0)
+        return (x - 0.3) ** 2 + (y + 0.7) ** 2 + 0.3 * math.sin(3 * x) * math.sin(3 * y)
+
+    def _best_after(self, tmp_path, sampler, n_trials, tag):
+        study = tuning.create_study(
+            f'gp_vs_rand_{tag}', f'sqlite:///{tmp_path}/{tag}.db', sampler=sampler
+        )
+        study.optimize(self._branin_like, n_trials=n_trials)
+        return study.best_trial.value
+
+    def test_gp_beats_random_on_2d(self, tmp_path):
+        best_gp = self._best_after(
+            tmp_path, tuning.GPSampler(seed=7, n_startup=8), 30, 'gp'
+        )
+        best_rand = self._best_after(tmp_path, tuning.RandomSampler(seed=7), 30, 'rand')
+        assert best_gp < best_rand
+
+    def test_gp_converges_near_optimum(self, tmp_path):
+        best = self._best_after(
+            tmp_path, tuning.GPSampler(seed=3, n_startup=8), 35, 'conv'
+        )
+        assert best < 0.08
+
+    def test_gp_handles_categorical_and_log(self, tmp_path):
+        study = tuning.create_study(
+            'gp_mixed', f'sqlite:///{tmp_path}/mixed.db',
+            sampler=tuning.GPSampler(seed=0, n_startup=5),
+        )
+
+        def objective(trial):
+            lr = trial.suggest_float('lr', 1e-5, 1e-1, log=True)
+            act = trial.suggest_categorical('act', ['relu', 'gelu'])
+            width = trial.suggest_int('width', 8, 64)
+            return (math.log10(lr) + 3) ** 2 + (0.0 if act == 'gelu' else 0.5) + abs(width - 32) / 32
+
+        study.optimize(objective, n_trials=20)
+        assert study.best_trial.value is not None
+        assert set(study.best_params) == {'lr', 'act', 'width'}
+
+    def test_make_sampler_selection(self):
+        assert isinstance(tuning.make_sampler('gp'), tuning.GPSampler)
+        assert isinstance(tuning.make_sampler('tpe'), tuning.TPESampler)
+        assert isinstance(tuning.make_sampler('random'), tuning.RandomSampler)
+        with pytest.raises(ValueError):
+            tuning.make_sampler('cmaes')

@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> tuning.Study:
     )
     study = tuning.create_study(
         study_name=study_name, storage=tune_cfg['storage'], pruner=pruner,
-        sampler=tuning.TPESampler(n_startup=t['n_startup_trials']),
+        sampler=tuning.make_sampler(t.get('sampler', 'gp'), n_startup=t['n_startup_trials']),
     )
     study.optimize(set_objective(tune_cfg), n_trials=t['n_trials'])
     tuning.visualize_study(study, pathlib.Path(tune_cfg['db_location']) / study_name)
