@@ -115,3 +115,45 @@ class TestPallasParity:
         gt = jax.grad(lambda a: jnp.sum(gather_neighbors_tpu(a, idx) ** 2))(x)
         gr = jax.grad(lambda a: jnp.sum(ops.gather_neighbors(a, idx) ** 2))(x)
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-5)
+
+
+@requires_tpu
+class TestModelForwardParity:
+    """Full flagship-model forward on the real chip: Pallas backend vs the
+    jnp golden backend (PCCF_KERNEL_BACKEND override) must agree — catches
+    Mosaic regressions at the model level, not just per-kernel."""
+
+    def test_counterfactual_vqvae_forward(self, monkeypatch):
+        import jax
+
+        import __graft_entry__ as graft
+        from pccf.config import get_config_all
+        from pccf.data.protocols import Singleton
+        from pccf.data.structures import Inputs
+        from pccf.models import get_autoencoder
+
+        Singleton.reset_all()
+        cfg = get_config_all(graft._tiny_overrides())
+        model = get_autoencoder(cfg)
+        cloud = np.random.default_rng(0).standard_normal((2, 256, 3)).astype(np.float32)
+        inputs = Inputs(cloud=cloud)
+        logits = np.zeros((2, 2), np.float32)
+        rngs = {
+            'params': jax.random.key(0),
+            'sampling': jax.random.key(1),
+            'dropout': jax.random.key(2),
+        }
+        variables = model.init(rngs, inputs, logits, method='full_init')
+
+        def forward():
+            out = model.apply(
+                variables, inputs, train=False, rngs={'sampling': jax.random.key(3)}
+            )
+            return np.asarray(out.recon)
+
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'pallas')
+        recon_pallas = forward()
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        recon_jnp = forward()
+        assert recon_pallas.shape == (2, 256, 3)
+        np.testing.assert_allclose(recon_pallas, recon_jnp, atol=2e-4)
