@@ -71,11 +71,31 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
         # mask padded columns so they are never selected
         d = jnp.where(col_ids < valid_n, d, _BIG)
         key = (jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32) & ~mask) | col_ids
+        # Quad-tournament extraction: split the N candidates into 4 quarter
+        # arrays and sort each cross-quarter 4-group once (5 compare-exchanges
+        # over N/4).  Every extraction then needs min+hit+4 promotions over
+        # N/4 — 1.5 passes-over-N vs 3 for the naive min+clobber loop, ~2x
+        # fewer VPU ops at the same exactness (keys are unique, so the single
+        # hit per row promotes exactly one group).
+        quarter = n // 4
+        q0 = key[:, :quarter]
+        q1 = key[:, quarter : 2 * quarter]
+        q2 = key[:, 2 * quarter : 3 * quarter]
+        q3 = key[:, 3 * quarter :]
+        q0, q1 = jnp.minimum(q0, q1), jnp.maximum(q0, q1)
+        q2, q3 = jnp.minimum(q2, q3), jnp.maximum(q2, q3)
+        q0, q2 = jnp.minimum(q0, q2), jnp.maximum(q0, q2)
+        q1, q3 = jnp.minimum(q1, q3), jnp.maximum(q1, q3)
+        q1, q2 = jnp.minimum(q1, q2), jnp.maximum(q1, q2)
         outs = []
         for _j in range(k):
-            m = jnp.min(key, axis=-1)[:, None]  # (T, 1)
+            m = jnp.min(q0, axis=-1)[:, None]  # (T, 1)
             outs.append(m & mask)
-            key = jnp.where(key == m, int_max, key)
+            hit = q0 == m
+            q0 = jnp.where(hit, q1, q0)
+            q1 = jnp.where(hit, q2, q1)
+            q2 = jnp.where(hit, q3, q2)
+            q3 = jnp.where(hit, int_max, q3)
         idx_ref[pl.ds(t * _TILE, _TILE), :] = jnp.concatenate(outs, axis=1)
         return _
 

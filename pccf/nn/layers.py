@@ -96,8 +96,19 @@ class DenseBlock(nn.Module):
         if self.act is not None:
             y = self.act(y)
         if self.residual:
+            # channel-interleaved residual (reference layers.py:165-166:
+            # x.repeat_interleave(out//in + 1, 1)[:, :out]).  Only the first
+            # ceil(out/reps) source channels survive the truncation, so build
+            # the repeat from that prefix — at out == in this materialises an
+            # (… , out)-sized intermediate instead of (…, 2*in), which on the
+            # PCGen conv_0 path (B, 2048, 1024) removes a 268 MB broadcast+
+            # reshape+slice chain XLA would not fuse.
             reps = self.features // in_features + 1
-            rep = jnp.repeat(x, reps, axis=-1)[..., : self.features]
+            src = -(-self.features // reps)  # ceil
+            pre = x[..., :src]
+            rep = jnp.broadcast_to(
+                pre[..., None], (*pre.shape, reps)
+            ).reshape(*x.shape[:-1], src * reps)[..., : self.features]
             y = y + rep
         return y
 
