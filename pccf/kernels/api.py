@@ -27,6 +27,11 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ('cpu',)
 
 
+def use_pallas() -> bool:
+    """Public backend predicate: True when the Pallas TPU kernels dispatch."""
+    return _use_pallas()
+
+
 def chamfer(x: Array, y: Array, reduction: str = 'mean') -> Array:
     """Chamfer distance ``(B,)`` — Pallas on TPU, jnp elsewhere."""
     if _use_pallas() and x.shape[1] % 256 == 0 and y.shape[1] % 256 == 0:

@@ -4,8 +4,16 @@ Replaces the reference's pykeops ``argKmin`` (src/utils/neighbour_ops.py:77-82)
 — and the naive XLA route (materialise the N x N distance matrix in HBM, then
 ``lax.top_k``, which sorts and costs ~27 ms/call at B=16/N=2048) — with a
 VMEM-resident kernel: each distance tile is produced once on-chip and the k
-smallest entries per row are extracted by iterative masked minima (k is small:
-4-25 in every reference config).  ~5x faster than the XLA path and exact.
+smallest entries per centre are extracted by tournament minima (k is small:
+4-25 in every reference config).
+
+Layout: the distance tile is computed TRANSPOSED, ``(N candidates, T
+centres)`` — candidates ride the *sublane* axis, centres the lane axis.  The
+per-extraction reduction ``min over candidates`` is then a vreg-stack
+elementwise min plus one 8-wide sublane tree, and every other extraction op
+(hit mask, tournament promotion) is purely elementwise; nothing ever reduces
+across lanes.  Measured 1.9 ms -> ~1.0 ms per (16, 2048, k=25) call vs the
+lane-major variant.
 
 The distance uses the MXU with HIGH (bf16x3) precision: ~1e-6 relative error,
 far below inter-point distance gaps, so neighbour *selection* is unaffected
@@ -44,44 +52,42 @@ def _cross_bf16x3(a: Array, b: Array) -> Array:
 
 
 def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
-    """One batch element: k smallest squared distances per row (self kNN).
+    """One batch element: k smallest squared distances per centre (self kNN).
 
     Packed-key extraction: non-negative f32 bit patterns are order-monotone
-    as int32, so the column id rides in the low ``idx_bits`` mantissa bits
-    and one ``min`` per pass yields value+index together (the separate argmin
-    and the index-compare mask of the naive loop disappear — measured 1.7x).
-    Clobbering the low mantissa bits perturbs distances by <= 2^-(23-idx_bits)
-    *relative* (2.4e-4 at n=2048) — below typical neighbour-gap scales, so
-    selection changes only on tie-level gaps, where either neighbour is
-    equally correct (ties then break by column; verified: identical neighbour
-    sets on random clouds, identical neighbour *distances* on exact-tie
-    grids)."""
+    as int32, so the candidate id rides in the low ``idx_bits`` mantissa bits
+    and one ``min`` per pass yields value+index together.  Clobbering the low
+    mantissa bits perturbs distances by <= 2^-(23-idx_bits) *relative*
+    (2.4e-4 at n=2048) — below typical neighbour-gap scales, so selection
+    changes only on tie-level gaps, where either neighbour is equally correct
+    (ties then break by candidate id; verified: identical neighbour sets on
+    random clouds, identical neighbour *distances* on exact-tie grids).
+
+    Quad-tournament extraction: the N candidates split into 4 quarter stacks
+    sorted once per column by a 5-comparator network.  Every extraction then
+    needs one min over N/4 + a hit mask + 4 promotions — ~1.5 elementwise
+    passes over N vs 3 for a naive min+clobber loop (keys are unique, so the
+    single hit per column promotes exactly one chain)."""
     x = x_ref[...]  # (N, C)
-    x_sq_row = jnp.sum(x * x, axis=-1)[None, :]  # (1, N)
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (N, 1)
     n_tiles = n // _TILE
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (_TILE, n), 1)
+    cand_ids = jax.lax.broadcasted_iota(jnp.int32, (n, _TILE), 0)
     mask = (1 << idx_bits) - 1
     int_max = jnp.iinfo(jnp.int32).max
 
     def tile_body(t, _):
-        xt = x_ref[pl.ds(t * _TILE, _TILE), :]  # (T, C)
-        xt_sq = jnp.sum(xt * xt, axis=-1, keepdims=True)  # (T, 1)
-        cross = _cross_bf16x3(xt, x)  # (T, N)
-        d = xt_sq - 2.0 * cross + x_sq_row
-        # mask padded columns so they are never selected
-        d = jnp.where(col_ids < valid_n, d, _BIG)
-        key = (jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32) & ~mask) | col_ids
-        # Quad-tournament extraction: split the N candidates into 4 quarter
-        # arrays and sort each cross-quarter 4-group once (5 compare-exchanges
-        # over N/4).  Every extraction then needs min+hit+4 promotions over
-        # N/4 — 1.5 passes-over-N vs 3 for the naive min+clobber loop, ~2x
-        # fewer VPU ops at the same exactness (keys are unique, so the single
-        # hit per row promotes exactly one group).
+        xt = x_ref[pl.ds(t * _TILE, _TILE), :]  # (T, C) centres
+        xt_sq = jnp.sum(xt * xt, axis=-1)[None, :]  # (1, T)
+        cross = _cross_bf16x3(x, xt)  # (N, T): candidate-major
+        d = x_sq - 2.0 * cross + xt_sq
+        # mask padded candidates so they are never selected
+        d = jnp.where(cand_ids < valid_n, d, _BIG)
+        key = (jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32) & ~mask) | cand_ids
         quarter = n // 4
-        q0 = key[:, :quarter]
-        q1 = key[:, quarter : 2 * quarter]
-        q2 = key[:, 2 * quarter : 3 * quarter]
-        q3 = key[:, 3 * quarter :]
+        q0 = key[:quarter]
+        q1 = key[quarter : 2 * quarter]
+        q2 = key[2 * quarter : 3 * quarter]
+        q3 = key[3 * quarter :]
         q0, q1 = jnp.minimum(q0, q1), jnp.maximum(q0, q1)
         q2, q3 = jnp.minimum(q2, q3), jnp.maximum(q2, q3)
         q0, q2 = jnp.minimum(q0, q2), jnp.maximum(q0, q2)
@@ -89,14 +95,14 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
         q1, q2 = jnp.minimum(q1, q2), jnp.maximum(q1, q2)
         outs = []
         for _j in range(k):
-            m = jnp.min(q0, axis=-1)[:, None]  # (T, 1)
+            m = jnp.min(q0, axis=0, keepdims=True)  # (1, T)
             outs.append(m & mask)
             hit = q0 == m
             q0 = jnp.where(hit, q1, q0)
             q1 = jnp.where(hit, q2, q1)
             q2 = jnp.where(hit, q3, q2)
             q3 = jnp.where(hit, int_max, q3)
-        idx_ref[pl.ds(t * _TILE, _TILE), :] = jnp.concatenate(outs, axis=1)
+        idx_ref[:, pl.ds(t * _TILE, _TILE)] = jnp.concatenate(outs, axis=0)  # (k, T)
         return _
 
     jax.lax.fori_loop(0, n_tiles, tile_body, None)
@@ -120,12 +126,12 @@ def knn_tpu(x: Array, k: int) -> Array:
         kernel,
         grid=(b,),
         in_specs=[pl.BlockSpec((None, np_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((None, np_, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, np_, k), jnp.int32),
+        out_specs=pl.BlockSpec((None, k, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, np_), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=int(b * np_ * np_ * (2 * c + 3 * k)),
             bytes_accessed=int(b * np_ * (c * 4 + k * 4)),
             transcendentals=0,
         ),
     )(xp)
-    return idx[:, :n, :]
+    return jnp.transpose(idx, (0, 2, 1))[:, :n, :]

@@ -81,6 +81,12 @@ class PCGenDecoder(nn.Module):
         # join with the latent: elementwise product (decoders.py:132-134)
         x = w[:, None, :] * x  # (B, N, w_dim)
 
+        if self._fused_eval_ok(x.shape[1], train):
+            x = self._fused_components(x)
+            if self.filtering:
+                x = kapi.graph_filtering(x)
+            return x
+
         # parallel component stacks as one vmapped module
         stack = nn.vmap(
             ComponentStack,
@@ -120,6 +126,65 @@ class PCGenDecoder(nn.Module):
         if self.filtering:
             x = kapi.graph_filtering(x)
         return x
+
+    # ------------------------------------------------- fused eval fast path
+    def _fused_eval_ok(self, n_points: int, train: bool) -> bool:
+        """Dispatch the fused Pallas component-stack kernel (eval only).
+
+        Training keeps the XLA path (batch-stat BN + gradients); init keeps
+        it too so the full param tree is materialised."""
+        from pccf.kernels.pallas_pcgen import pcgen_fused_supported
+
+        return (
+            not train
+            and not self.is_initializing()
+            and self.act_name in ('', 'LeakyReLU', 'ReLU')
+            and kapi.use_pallas()
+            and pcgen_fused_supported(n_points, self.w_dim, self.conv_dims, self.n_components)
+        )
+
+    def _fused_components(self, x: Array) -> Array:
+        """Run components + heads + attention mix in one Pallas kernel.
+
+        Reads the child-module params (created by the XLA path during init)
+        from the bound variable tree and folds each BN running-stat affine
+        into its dense kernel."""
+        from pccf.kernels.pallas_pcgen import (
+            fold_bn_affine,
+            interleave_residual,
+            pcgen_mix_tpu,
+        )
+
+        v = self.variables
+        params = v['params']
+        stats = v['batch_stats']
+        layer_ws, layer_bs = [], []
+        for i in range(len(self.conv_dims)):
+            blk = params['components'][f'conv_{i}']
+            st = stats['components'][f'conv_{i}']['bn']
+            w_f, b_f = fold_bn_affine(
+                blk['dense']['kernel'], blk['bn']['scale'], blk['bn']['bias'],
+                st['mean'], st['var'],
+            )
+            layer_ws.append(w_f)
+            layer_bs.append(b_f)
+        head = params['component_heads']['dense']
+        att = params['att']['dense']
+        rep = interleave_residual(x, self.conv_dims[0])
+        slope = 0.0 if self.act_name == 'ReLU' else 0.2
+        return pcgen_mix_tpu(
+            x,
+            rep,
+            tuple(layer_ws),
+            tuple(layer_bs),
+            head['kernel'].astype(jnp.bfloat16),
+            head['bias'],
+            att['kernel'].astype(jnp.bfloat16),
+            att['bias'].reshape(1, -1),
+            dims=(self.w_dim, *self.conv_dims),
+            tau=self.tau,
+            act_slope=slope,
+        )
 
 
 def get_decoder(cfg_ae_model) -> nn.Module:

@@ -256,5 +256,43 @@ class TestGraphFiltering:
         np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+class TestPCGenFusionHelpers:
+    def test_fold_bn_affine_matches_bn(self):
+        from pccf.kernels.pallas_pcgen import fold_bn_affine
+
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, 8).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+        mean = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.1)
+        var = jnp.asarray(rng.uniform(0.5, 1.5, 8).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+        wf, bf = fold_bn_affine(w, scale, bias, mean, var)
+        got = x @ wf.astype(jnp.float32) + bf
+        a = scale / jnp.sqrt(var + 1e-5)
+        want = (x @ w - mean) * a + bias
+        # bf16 weight rounding: ~2^-9 relative on each product term
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=6e-3, atol=2e-2)
+
+    def test_interleave_residual_matches_repeat(self):
+        from pccf.kernels.pallas_pcgen import interleave_residual
+
+        rng = np.random.default_rng(4)
+        for in_f, out_f in [(8, 8), (8, 20), (16, 8), (6, 6)]:
+            x = jnp.asarray(rng.standard_normal((2, 5, in_f)).astype(np.float32))
+            reps = out_f // in_f + 1
+            want = jnp.repeat(x, reps, axis=-1)[..., :out_f]
+            got = interleave_residual(x, out_f)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def test_supported_predicate(self):
+        from pccf.kernels.pallas_pcgen import pcgen_fused_supported
+
+        assert pcgen_fused_supported(2048, 1024, (1024, 256, 16), 8)  # flagship
+        assert not pcgen_fused_supported(2048, 64, (32, 16), 2)  # lane misaligned
+        assert not pcgen_fused_supported(100, 1024, (1024, 256, 16), 8)  # tile
+        assert not pcgen_fused_supported(2048, 1024, (1024, 256, 256), 8)  # re-expand
+
+
 if __name__ == '__main__':
     pytest.main([__file__, '-x', '-q'])

@@ -118,6 +118,52 @@ class TestPallasParity:
 
 
 @requires_tpu
+class TestFusedPCGen:
+    """Fused component-stack kernel vs the unfused XLA eval path.
+
+    Both run bf16 MXU matmuls (XLA's default f32 precision on TPU), but the
+    fused kernel folds BN into the weights before the bf16 round — tolerance
+    covers that one extra rounding of the weight product."""
+
+    def test_fused_matches_unfused(self, monkeypatch):
+        import flax
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.nn.decoders import PCGenDecoder
+
+        w_dim, n, b, g = 512, 512, 2, 4
+        dec = PCGenDecoder(
+            w_dim=w_dim, sample_dim=8, n_components=g, map_dims=(64,),
+            conv_dims=(512, 256, 16), tau=5.0, act=jax.nn.relu, act_name='ReLU',
+            filtering=False,
+        )
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((b, w_dim)).astype(np.float32))
+        samp = jnp.asarray(rng.standard_normal((b, n, 8)).astype(np.float32))
+        variables = dec.init(
+            {'params': jax.random.key(0), 'sampling': jax.random.key(1)}, w, n, samp, train=False
+        )
+        flat = flax.traverse_util.flatten_dict(variables['batch_stats'])
+        for k, v in list(flat.items()):
+            if k[-1] == 'mean':
+                flat[k] = jnp.asarray(rng.normal(0, 0.05, v.shape).astype(np.float32))
+            if k[-1] == 'var':
+                flat[k] = jnp.asarray(rng.uniform(0.5, 1.5, v.shape).astype(np.float32))
+        variables = dict(variables)
+        variables['batch_stats'] = flax.traverse_util.unflatten_dict(flat)
+
+        from pccf.kernels.pallas_pcgen import pcgen_fused_supported
+
+        assert pcgen_fused_supported(n, w_dim, (512, 256, 16), g)
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'pallas')
+        out_fused = np.asarray(dec.apply(variables, w, n, samp, train=False))
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        out_slow = np.asarray(dec.apply(variables, w, n, samp, train=False))
+        np.testing.assert_allclose(out_fused, out_slow, atol=3e-3)
+
+
+@requires_tpu
 class TestModelForwardParity:
     """Full flagship-model forward on the real chip: Pallas backend vs the
     jnp golden backend (PCCF_KERNEL_BACKEND override) must agree — catches
