@@ -26,8 +26,11 @@ A100_EST_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
 A100_EST_CF_SAMPLES_PER_S = 900.0  # counterfactual decode estimate, see BASELINE.md
 
 
-def _marginal_scan_time(step_fn, args, k_short=2, k_long=12) -> float:
-    """Marginal seconds/iteration of ``step_fn`` chained inside lax.scan."""
+def _marginal_scan_time(step_fn, args, k_short=2, k_long=12, repeats=2) -> float:
+    """Marginal seconds/iteration of ``step_fn`` chained inside lax.scan.
+
+    Takes the min over ``repeats`` timed runs per scan length (compiles are
+    cached after the first), which suppresses tunnel/host jitter."""
     import jax
 
     def make(k):
@@ -45,9 +48,12 @@ def _marginal_scan_time(step_fn, args, k_short=2, k_long=12) -> float:
     for k in (k_short, k_long):
         loop = make(k)
         float(loop(*args))  # compile + warm (forces full execution)
-        t0 = time.time()
-        float(loop(*args))
-        times[k] = time.time() - t0
+        best = float('inf')
+        for _ in range(repeats):
+            t0 = time.time()
+            float(loop(*args))
+            best = min(best, time.time() - t0)
+        times[k] = best
     return max((times[k_long] - times[k_short]) / (k_long - k_short), 1e-9)
 
 

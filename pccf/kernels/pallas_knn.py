@@ -63,45 +63,49 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
     (ties then break by candidate id; verified: identical neighbour sets on
     random clouds, identical neighbour *distances* on exact-tie grids).
 
-    Quad-tournament extraction: the N candidates split into 4 quarter stacks
-    sorted once per column by a 5-comparator network.  Every extraction then
-    needs one min over N/4 + a hit mask + 4 promotions — ~1.5 elementwise
-    passes over N vs 3 for a naive min+clobber loop (keys are unique, so the
-    single hit per column promotes exactly one chain)."""
+    Octo-tournament extraction: the N candidates split into 8 stacks sorted
+    once per column by a 19-comparator network.  Every extraction then needs
+    one min over N/8 + a hit mask + 8 promotions — ~1.25 elementwise passes
+    over N vs 3 for a naive min+clobber loop (keys are unique, so the single
+    hit per column promotes exactly one chain), and the min-reduce chain is
+    half as deep as the 4-way variant.
+
+    Self shortcut: the nearest neighbour of a point is itself (d = 0), so the
+    diagonal is excluded in the same select pass that masks padding and slot
+    0 is emitted directly — only k-1 extractions run.  (On exactly duplicated
+    points the golden ``top_k`` may order the duplicate before self; the
+    neighbour *set* is identical for k >= 2 since both duplicates qualify.)"""
     x = x_ref[...]  # (N, C)
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (N, 1)
     n_tiles = n // _TILE
     cand_ids = jax.lax.broadcasted_iota(jnp.int32, (n, _TILE), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (n, _TILE), 1)
     mask = (1 << idx_bits) - 1
     int_max = jnp.iinfo(jnp.int32).max
+    net8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7), (1, 2), (5, 6),
+            (0, 4), (1, 5), (2, 6), (3, 7), (1, 4), (3, 6), (2, 4), (3, 5), (3, 4)]
 
     def tile_body(t, _):
         xt = x_ref[pl.ds(t * _TILE, _TILE), :]  # (T, C) centres
         xt_sq = jnp.sum(xt * xt, axis=-1)[None, :]  # (1, T)
         cross = _cross_bf16x3(x, xt)  # (N, T): candidate-major
         d = x_sq - 2.0 * cross + xt_sq
-        # mask padded candidates so they are never selected
-        d = jnp.where(cand_ids < valid_n, d, _BIG)
+        centres = lane_ids + t * _TILE
+        # mask padded candidates AND the self diagonal in one pass
+        d = jnp.where((cand_ids < valid_n) & (cand_ids != centres), d, _BIG)
         key = (jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32) & ~mask) | cand_ids
-        quarter = n // 4
-        q0 = key[:quarter]
-        q1 = key[quarter : 2 * quarter]
-        q2 = key[2 * quarter : 3 * quarter]
-        q3 = key[3 * quarter :]
-        q0, q1 = jnp.minimum(q0, q1), jnp.maximum(q0, q1)
-        q2, q3 = jnp.minimum(q2, q3), jnp.maximum(q2, q3)
-        q0, q2 = jnp.minimum(q0, q2), jnp.maximum(q0, q2)
-        q1, q3 = jnp.minimum(q1, q3), jnp.maximum(q1, q3)
-        q1, q2 = jnp.minimum(q1, q2), jnp.maximum(q1, q2)
-        outs = []
-        for _j in range(k):
-            m = jnp.min(q0, axis=0, keepdims=True)  # (1, T)
+        eighth = n // 8
+        q = [key[i * eighth : (i + 1) * eighth] for i in range(8)]
+        for a, b in net8:
+            q[a], q[b] = jnp.minimum(q[a], q[b]), jnp.maximum(q[a], q[b])
+        outs = [centres[:1, :]]  # slot 0: self
+        for _j in range(k - 1):
+            m = jnp.min(q[0], axis=0, keepdims=True)  # (1, T)
             outs.append(m & mask)
-            hit = q0 == m
-            q0 = jnp.where(hit, q1, q0)
-            q1 = jnp.where(hit, q2, q1)
-            q2 = jnp.where(hit, q3, q2)
-            q3 = jnp.where(hit, int_max, q3)
+            hit = q[0] == m
+            for i in range(7):
+                q[i] = jnp.where(hit, q[i + 1], q[i])
+            q[7] = jnp.where(hit, int_max, q[7])
         idx_ref[:, pl.ds(t * _TILE, _TILE)] = jnp.concatenate(outs, axis=0)  # (k, T)
         return _
 

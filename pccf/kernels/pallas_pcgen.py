@@ -13,8 +13,12 @@ processes a (TILE, w_dim) row tile, loops the components in-register
 (weights are VMEM-resident across the whole grid — ~21 MB in bf16 on a v5e's
 ~128 MB VMEM), applies the folded-BN affine + activation + the reference's
 interleaved residual, computes the per-component 3-d heads AND the attention
-mixing, and writes only the final (TILE, 3) mixture.  HBM traffic drops from
-~2 GB to ~0.2 GB per batch; the matmuls run as single-pass bf16 with f32
+mixing, and writes only the final (TILE, 3) mixture.  The map MLP's Hardtanh
+head and the ``w ⊙ map`` join are fused in as well (the layer-0 interleaved
+residual comes from a column-interleaved copy of the map head — hardtanh and
+the w-product commute with column duplication), so the only large HBM input
+is the (B, N, map_dim) penultimate map activation: ~8 MB vs the >1 GB
+round-trips of the XLA route.  Matmuls run single-pass bf16 with f32
 accumulation (the same MXU precision XLA uses for these f32 matmuls by
 default, so fused vs unfused outputs agree to bf16 rounding).
 
@@ -25,8 +29,9 @@ Semantics folded in (all cited to the reference):
 - DenseBlock = dense (no bias) + BN running-stat affine + act
   (layers.py:150-170): BN folds to ``W' = W * a``, ``b' = β − μ·a``.
 - Interleaved residual ``repeat_interleave(out//in + 1)[:, :out]``
-  (layers.py:165-167): layer 0 may expand, so its residual arrives
-  precomputed from XLA (exact f32); later layers satisfy out ≤ in and use an
+  (layers.py:165-167): layer 0 may expand, so its residual is produced
+  in-kernel from the interleaved map head (Mosaic cannot relayout an
+  interleave across lanes); later layers satisfy out ≤ in and use an
   in-kernel prefix slice.
 - Soft-init heads with bias (decoders.py:53-62), attention dense + softmax
   of logits/τ (decoders.py:92-106, layers.py:206).
@@ -69,8 +74,13 @@ def _leaky(x: Array, slope: float) -> Array:
 
 
 def _kernel(
-    x_ref,
-    rep_ref,
+    m_ref,
+    w_ref,
+    wrep_ref,
+    wmap_ref,
+    bmap_ref,
+    wmaprep_ref,
+    bmaprep_ref,
     *refs,
     dims: tuple[int, ...],
     g_count: int,
@@ -82,15 +92,22 @@ def _kernel(
     bs = refs[n_layers : 2 * n_layers]
     wh_ref, bh_ref, watt_ref, batt_ref, out_ref = refs[2 * n_layers :]
 
-    xb = x_ref[...]  # (T, D0) bf16
-    rep0 = rep_ref[...]  # (T, D1) f32 — layer-0 residual, exact
-    feats = []
-    comps = []
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # map tail: Hardtanh head of the sampling MLP (decoders.py:44-52), fused
+    # so the (B, N, D0) joined latent never round-trips HBM.
+    mt = m_ref[...]  # (T, Dm) bf16
+    t_map = jnp.clip(dot(mt, wmap_ref[...]) + bmap_ref[...], -1.0, 1.0)
+    xb = (w_ref[...] * t_map).astype(jnp.bfloat16)  # join: w ⊙ map(sampling)
+    # layer-0 interleaved residual, via the column-interleaved map head
+    # (hardtanh and the w-product commute with column duplication)
+    t_rep = jnp.clip(dot(mt, wmaprep_ref[...]) + bmaprep_ref[...], -1.0, 1.0)
+    rep0 = wrep_ref[...] * t_rep  # (T, D1) f32
+    feats = []
+    comps = []
     for g in range(g_count):
         h = dot(xb, ws[0][g]) + bs[0][g : g + 1, :]
         h = _leaky(h, act_slope) + rep0
@@ -108,8 +125,10 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=('dims', 'tau', 'act_slope'))
 def pcgen_mix_tpu(
-    x: Array,
-    rep: Array,
+    m: Array,
+    w: Array,
+    map_w: Array,
+    map_b: Array,
     layer_ws: tuple[Array, ...],
     layer_bs: tuple[Array, ...],
     head_w: Array,
@@ -121,11 +140,14 @@ def pcgen_mix_tpu(
     tau: float,
     act_slope: float,
 ) -> Array:
-    """Fused PCGen component stacks + heads + tempered-softmax mix.
+    """Fused PCGen: map Hardtanh tail + join + component stacks + heads +
+    tempered-softmax mix, one VMEM-resident kernel.
 
     Args:
-        x: (B, N, D0) joined latent ``w ⊙ map(sampling)``, f32 (cast inside).
-        rep: (B, N, D1) layer-0 interleaved residual, f32, exact.
+        m: (B, N, Dm) penultimate map-MLP activations, f32 (cast inside) —
+            the only large HBM input (~Dm/D0 of the joined-latent size).
+        w: (B, D0) latent code.
+        map_w / map_b: (Dm, D0) / (D0,) Hardtanh map head (with bias).
         layer_ws: per layer (G, Din, Dout) — BN-folded, bf16.
         layer_bs: per layer (G, Dout) — BN-folded bias, f32.
         head_w / head_b: (G, D_last, 3) bf16 / (G, 3) f32.
@@ -137,42 +159,59 @@ def pcgen_mix_tpu(
     Returns:
         (B, N, 3) mixed components, f32.
     """
-    b, n, d0 = x.shape
+    b, n, dm = m.shape
+    d0, d1 = dims[0], dims[1]
     g_count = head_w.shape[0]
     n_layers = len(dims) - 1
     kernel = functools.partial(
         _kernel, dims=dims, g_count=g_count, tau=tau, act_slope=act_slope
     )
+    # column-interleaved map head: produces the layer-0 residual pre-join
+    map_w_rep = interleave_residual(map_w, d1)
+    map_b_rep = interleave_residual(map_b, d1)[None, :]
+    w_rep = interleave_residual(w, d1)[:, None, :]  # (B, 1, D1)
     const = lambda *shape: (lambda i, t: tuple(0 for _ in shape))  # noqa: E731
-    w_specs = [
-        pl.BlockSpec(w.shape, const(*w.shape), memory_space=pltpu.VMEM) for w in layer_ws
-    ]
-    b_specs = [
-        pl.BlockSpec(v.shape, const(*v.shape), memory_space=pltpu.VMEM) for v in layer_bs
-    ]
+    full = lambda a: pl.BlockSpec(a.shape, const(*a.shape), memory_space=pltpu.VMEM)  # noqa: E731
     flops = 2 * b * n * g_count * sum(dims[i] * dims[i + 1] for i in range(n_layers))
     return pl.pallas_call(
         kernel,
         grid=(b, n // _TILE),
         in_specs=[
-            pl.BlockSpec((None, _TILE, d0), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (None, _TILE, dims[1]), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
-            ),
-            *w_specs,
-            *b_specs,
-            pl.BlockSpec(head_w.shape, const(*head_w.shape), memory_space=pltpu.VMEM),
-            pl.BlockSpec(head_b.shape, const(*head_b.shape), memory_space=pltpu.VMEM),
-            pl.BlockSpec(att_w.shape, const(*att_w.shape), memory_space=pltpu.VMEM),
-            pl.BlockSpec(att_b.shape, const(*att_b.shape), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _TILE, dm), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, d0), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, d1), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            full(map_w),
+            pl.BlockSpec((1, d0), const(1, d0), memory_space=pltpu.VMEM),
+            full(map_w_rep),
+            pl.BlockSpec((1, d1), const(1, d1), memory_space=pltpu.VMEM),
+            *[full(a) for a in layer_ws],
+            *[full(a) for a in layer_bs],
+            full(head_w),
+            full(head_b),
+            full(att_w),
+            full(att_b),
         ],
         out_specs=pl.BlockSpec((None, _TILE, 3), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
-            flops=int(flops), bytes_accessed=int(x.size * 6), transcendentals=int(b * n * g_count)
+            flops=int(flops), bytes_accessed=int(m.size * 2 + flops // (2 * n)), transcendentals=int(b * n * g_count)
         ),
-    )(x.astype(jnp.bfloat16), rep, *layer_ws, *layer_bs, head_w, head_b, att_w, att_b)
+    )(
+        m.astype(jnp.bfloat16),
+        w[:, None, :],
+        w_rep,
+        map_w.astype(jnp.bfloat16),
+        map_b[None, :],
+        map_w_rep.astype(jnp.bfloat16),
+        map_b_rep,
+        *layer_ws,
+        *layer_bs,
+        head_w,
+        head_b,
+        att_w,
+        att_b,
+    )
 
 
 def fold_bn_affine(kernel: Array, scale: Array, bias: Array, mean: Array, var: Array, eps: float = 1e-5):

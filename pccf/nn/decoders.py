@@ -74,18 +74,20 @@ class PCGenDecoder(nn.Module):
         # map the sampling to w_dim (ReLU stack + Hardtanh head, no BN)
         for i, f in enumerate(self.map_dims):
             x = DenseBlock(f, act=jax.nn.relu, act_name='ReLU', batch_norm=False, name=f'map_{i}')(x, train)
+
+        if self._fused_eval_ok(n_output_points, train):
+            # the Hardtanh map head + join + components run inside the kernel
+            x = self._fused_components(x, w)
+            if self.filtering:
+                x = kapi.graph_filtering(x)
+            return x
+
         x = DenseBlock(
             self.w_dim, act=jax.nn.hard_tanh, act_name='Hardtanh', batch_norm=False, name='map_out'
         )(x, train)
 
         # join with the latent: elementwise product (decoders.py:132-134)
         x = w[:, None, :] * x  # (B, N, w_dim)
-
-        if self._fused_eval_ok(x.shape[1], train):
-            x = self._fused_components(x)
-            if self.filtering:
-                x = kapi.graph_filtering(x)
-            return x
 
         # parallel component stacks as one vmapped module
         stack = nn.vmap(
@@ -143,17 +145,14 @@ class PCGenDecoder(nn.Module):
             and pcgen_fused_supported(n_points, self.w_dim, self.conv_dims, self.n_components)
         )
 
-    def _fused_components(self, x: Array) -> Array:
-        """Run components + heads + attention mix in one Pallas kernel.
+    def _fused_components(self, m: Array, w: Array) -> Array:
+        """Run map head + join + components + attention mix in one Pallas
+        kernel.
 
         Reads the child-module params (created by the XLA path during init)
         from the bound variable tree and folds each BN running-stat affine
         into its dense kernel."""
-        from pccf.kernels.pallas_pcgen import (
-            fold_bn_affine,
-            interleave_residual,
-            pcgen_mix_tpu,
-        )
+        from pccf.kernels.pallas_pcgen import fold_bn_affine, pcgen_mix_tpu
 
         v = self.variables
         params = v['params']
@@ -170,11 +169,13 @@ class PCGenDecoder(nn.Module):
             layer_bs.append(b_f)
         head = params['component_heads']['dense']
         att = params['att']['dense']
-        rep = interleave_residual(x, self.conv_dims[0])
+        map_out = params['map_out']['dense']
         slope = 0.0 if self.act_name == 'ReLU' else 0.2
         return pcgen_mix_tpu(
-            x,
-            rep,
+            m,
+            w,
+            map_out['kernel'],
+            map_out['bias'],
             tuple(layer_ws),
             tuple(layer_bs),
             head['kernel'].astype(jnp.bfloat16),

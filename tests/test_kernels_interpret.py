@@ -1,0 +1,120 @@
+"""Pallas kernels in interpret mode on CPU.
+
+``pl.pallas_call(..., interpret=True)`` executes the kernel body with the
+reference semantics of the Pallas primitives, no Mosaic/TPU required — this
+covers the kernel *logic* (tournament extraction, BN folding, residual
+wiring, unrolled gathers) in the regular CPU suite; the on-chip tests in
+``test_kernels_tpu.py`` cover the Mosaic lowering.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call', functools.partial(orig, interpret=True))
+    yield
+    jax.clear_caches()  # drop jit entries traced with the interpreted calls
+
+
+class TestKnnInterpret:
+    def test_neighbour_sets_match_golden(self, interpret_pallas):
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_knn import knn_tpu
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 256, 3)).astype(np.float32))
+        idx = np.asarray(knn_tpu(x, 9))
+        ref = np.asarray(ops.knn(x, 9))
+        assert idx.shape == ref.shape
+        for b in range(2):
+            for i in range(0, 256, 7):
+                assert set(idx[b, i]) == set(ref[b, i]), (b, i)
+
+    def test_self_is_slot_zero_and_padding_masked(self, interpret_pallas):
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_knn import knn_tpu
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 200, 3)).astype(np.float32))  # padded to 256
+        idx = np.asarray(knn_tpu(x, 5))
+        assert (idx[0, :, 0] == np.arange(200)).all()
+        assert idx.max() < 200  # padded candidates never selected
+        ref = np.asarray(ops.knn(x, 5))
+        for i in range(0, 200, 11):
+            assert set(idx[0, i]) == set(ref[0, i])
+
+    def test_duplicate_points_same_set(self, interpret_pallas):
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_knn import knn_tpu
+
+        rng = np.random.default_rng(2)
+        xs = rng.standard_normal((1, 128, 3)).astype(np.float32)
+        xs[0, 77] = xs[0, 3]  # exact duplicate
+        x = jnp.asarray(xs)
+        idx = np.asarray(knn_tpu(x, 4))
+        ref = np.asarray(ops.knn(x, 4))
+        for i in (3, 77):
+            assert set(idx[0, i]) == set(ref[0, i])
+
+
+class TestGatherPoolInterpret:
+    def test_pool_and_gather_bit_exact(self, interpret_pallas):
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_gather import gather_neighbors_tpu, graph_max_pool_tpu
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 256, 16)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 256, (2, 256, 5)).astype(np.int32))
+        assert (np.asarray(graph_max_pool_tpu(x, idx)) == np.asarray(ops.graph_max_pool(x, idx))).all()
+        assert (np.asarray(gather_neighbors_tpu(x, idx)) == np.asarray(ops.gather_neighbors(x, idx))).all()
+
+
+class TestPCGenFusedInterpret:
+    def test_fused_decoder_matches_slow_path(self, interpret_pallas, monkeypatch):
+        import flax
+
+        from pccf.kernels.pallas_pcgen import pcgen_fused_supported
+        from pccf.nn.decoders import PCGenDecoder
+
+        w_dim, n, b, g = 128, 256, 1, 2
+        conv_dims = (128, 32, 16)
+        assert pcgen_fused_supported(n, w_dim, conv_dims, g)
+        dec = PCGenDecoder(
+            w_dim=w_dim, sample_dim=4, n_components=g, map_dims=(8,),
+            conv_dims=conv_dims, tau=5.0, act=jax.nn.relu, act_name='ReLU',
+            filtering=False,
+        )
+        rng = np.random.default_rng(4)
+        w = jnp.asarray(rng.standard_normal((b, w_dim)).astype(np.float32))
+        samp = jnp.asarray(rng.standard_normal((b, n, 4)).astype(np.float32))
+        variables = dec.init(
+            {'params': jax.random.key(0), 'sampling': jax.random.key(1)}, w, n, samp, train=False
+        )
+        flat = flax.traverse_util.flatten_dict(variables['batch_stats'])
+        for k, v in list(flat.items()):
+            if k[-1] == 'mean':
+                flat[k] = jnp.asarray(rng.normal(0, 0.05, v.shape).astype(np.float32))
+            if k[-1] == 'var':
+                flat[k] = jnp.asarray(rng.uniform(0.5, 1.5, v.shape).astype(np.float32))
+        variables = dict(variables)
+        variables['batch_stats'] = flax.traverse_util.unflatten_dict(flat)
+
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'pallas')
+        out_fused = np.asarray(dec.apply(variables, w, n, samp, train=False))
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        out_slow = np.asarray(dec.apply(variables, w, n, samp, train=False))
+        # bf16 weight/activation rounding inside the kernel
+        np.testing.assert_allclose(out_fused, out_slow, atol=3e-3)
+
+
+if __name__ == '__main__':
+    pytest.main([__file__, '-x', '-q'])
