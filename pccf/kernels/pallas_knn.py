@@ -12,8 +12,8 @@ centres)`` — candidates ride the *sublane* axis, centres the lane axis.  The
 per-extraction reduction ``min over candidates`` is then a vreg-stack
 elementwise min plus one 8-wide sublane tree, and every other extraction op
 (hit mask, tournament promotion) is purely elementwise; nothing ever reduces
-across lanes.  Measured 1.9 ms -> ~1.0 ms per (16, 2048, k=25) call vs the
-lane-major variant.
+across lanes.  Measured ~2.0 -> ~1.7 ms per (16, 2048, k=25) call vs the
+lane-major variant, before the octo-tournament/self-shortcut below.
 
 The distance uses the MXU with HIGH (bf16x3) precision: ~1e-6 relative error,
 far below inter-point distance gaps, so neighbour *selection* is unaffected

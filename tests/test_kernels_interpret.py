@@ -78,6 +78,34 @@ class TestGatherPoolInterpret:
         assert (np.asarray(gather_neighbors_tpu(x, idx)) == np.asarray(ops.gather_neighbors(x, idx))).all()
 
 
+class TestLossKernelsInterpret:
+    def test_nn_distance_matches_golden(self, interpret_pallas):
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_chamfer import nn_distance_tpu
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32))
+        d1, i1, d2, i2 = nn_distance_tpu(x, y)
+        d1r, i1r, d2r, i2r = ops.nn_distance(x, y)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d1r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d2r), atol=1e-4)
+        assert (np.asarray(i1) == np.asarray(i1r)).all()
+        assert (np.asarray(i2) == np.asarray(i2r)).all()
+
+    def test_match_cost_matches_golden(self, interpret_pallas):
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_emd import emd_fits_vmem, match_cost_tpu
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) / 2)
+        y = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) / 2)
+        assert emd_fits_vmem(512, 512)
+        got = np.asarray(match_cost_tpu(x, y))
+        want = np.asarray(ops.match_cost(x, y))
+        np.testing.assert_allclose(got, want, rtol=5e-4)
+
+
 class TestPCGenFusedInterpret:
     def test_fused_decoder_matches_slow_path(self, interpret_pallas, monkeypatch):
         import flax
