@@ -132,12 +132,65 @@ def bench_counterfactual(batch=16, n=2048):
     }
 
 
+def bench_train_step(batch=8, n=2048, iters=8):
+    """Full VQ-VAE training-step throughput (fwd + Chamfer+EMD loss + bwd +
+    AdamW update + host metric fetch), the reference's stage-1 hot loop."""
+    import time as _time
+
+    import jax
+
+    from pccf.config import get_config_all
+    from pccf.data import get_datasets
+    from pccf.data.protocols import Singleton
+    from pccf.data.structures import Inputs
+    from pccf.models import get_autoencoder
+    from pccf.train import DataLoader, Model, Trainer, get_autoencoder_loss, get_learning_schema
+
+    Singleton.reset_all()
+    cfg = get_config_all(
+        [
+            'data/dataset=synthetic',
+            'data.dataset.n_classes=2',
+            f'data.n_input_points={n}',
+            f'data.n_target_points={n}',
+            f'autoencoder.train.batch_size={batch}',
+            'autoencoder.objective.recon_loss=ChamferEMD',
+        ]
+    )
+    ae = get_autoencoder(cfg)
+    model = Model(ae, name='bench', seed=0)
+    train_dataset, _ = get_datasets(cfg)
+    loader = DataLoader(train_dataset, batch, n_workers=0)
+    inputs, targets = next(iter(loader.epoch_iterator(1)))
+    model.initialize(
+        Inputs(cloud=inputs.cloud[:1]),
+        np.zeros((1, cfg.data.dataset.n_classes), np.float32),
+        method='full_init',
+    )
+    trainer = Trainer(model, loader, get_autoencoder_loss(cfg), get_learning_schema(cfg.autoencoder))
+    rng = jax.random.key(7)
+    for _ in range(2):  # compile + warm
+        trainer.run_step(inputs, targets, rng=rng, epoch=1.0)
+    t0 = _time.time()
+    for _ in range(iters):
+        trainer.run_step(inputs, targets, rng=rng, epoch=1.0)
+    dt = (_time.time() - t0) / iters
+    return {
+        'vqvae_train_step_ms': dt * 1e3,
+        'vqvae_train_samples_per_s': batch / dt,
+    }
+
+
 def main() -> None:
     results = bench_loss_kernels()
     try:
         results.update(bench_counterfactual())
     except Exception as e:  # keep the headline metric even if the model bench fails
         results['counterfactual_error'] = str(e)[:200]
+    try:
+        results.update(bench_train_step())
+    except Exception as e:
+        results['train_step_error'] = str(e)[:200]
     value = results['chamfer_emd_pairs_per_s']
     line = {
         'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
