@@ -10,7 +10,7 @@ from pccf.train.hooks import (
     get_trailing_mean,
     saving_hook,
 )
-from pccf.train.loader import DataLoader
+from pccf.train.loader import DataLoader, take_from_dataset
 from pccf.train.losses import (
     get_autoencoder_loss,
     get_classification_loss,
@@ -26,6 +26,7 @@ from pccf.train.trackers import TrackerNotUsedError, get_trackers
 __all__ = [
     'ConvergenceError',
     'DataLoader',
+    'take_from_dataset',
     'Diagnostic',
     'DiscreteSpaceOptimizer',
     'EarlyStoppingCallback',

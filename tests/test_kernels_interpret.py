@@ -66,6 +66,22 @@ class TestKnnInterpret:
             assert set(idx[0, i]) == set(ref[0, i])
 
 
+class TestKnnPropertyInterpret:
+    def test_random_shapes_match_golden(self, interpret_pallas):
+        """Property sweep: arbitrary (n, k, c) incl. padding remainders."""
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_knn import knn_tpu
+
+        rng = np.random.default_rng(7)
+        for n, k, c in [(128, 1, 3), (130, 3, 2), (256, 8, 5), (300, 17, 3), (384, 25, 4)]:
+            x = jnp.asarray(rng.standard_normal((1, n, c)).astype(np.float32))
+            idx = np.asarray(knn_tpu(x, k))
+            ref = np.asarray(ops.knn(x, k))
+            assert idx.shape == (1, n, k)
+            for i in range(0, n, max(1, n // 13)):
+                assert set(idx[0, i]) == set(ref[0, i]), (n, k, c, i)
+
+
 class TestGatherPoolInterpret:
     def test_pool_and_gather_bit_exact(self, interpret_pallas):
         from pccf.kernels import ops
