@@ -79,6 +79,17 @@ def graph_max_pool(x: Array, idx: Array) -> Array:
     return ops.graph_max_pool(x, idx)
 
 
+def graph_sum_pool(x: Array, idx: Array) -> Array:
+    """Sum over the k gathered neighbours ``(B, N, C)`` — streaming Pallas
+    kernel on TPU (no (B, N, k, C) materialisation), jnp elsewhere."""
+    if _use_pallas():
+        from pccf.kernels.pallas_gather import gather_pool_supported, graph_sum_pool_tpu
+
+        if gather_pool_supported(x.shape[1], x.shape[2]):
+            return graph_sum_pool_tpu(x, idx)
+    return ops.graph_sum_pool(x, idx)
+
+
 def gather_neighbors(x: Array, idx: Array) -> Array:
     """Neighbour features ``(B, N, k, C)`` — Pallas row gather on TPU."""
     if _use_pallas():

@@ -114,6 +114,17 @@ def graph_max_pool(x: Array, idx: Array) -> Array:
     return jnp.max(gather_neighbors(x, idx), axis=2)
 
 
+def graph_sum_pool(x: Array, idx: Array) -> Array:
+    """Sum over the k neighbours of each point: ``(B, N, C)``.
+
+    Streaming-BN helper for the EdgeConv training path: batch statistics of
+    the gathered edge tensor reduce to neighbour sums of ``u`` and ``u²``
+    (pccf extension; no reference counterpart — the reference materialises
+    the (B, N, k, F) tensor instead).
+    """
+    return jnp.sum(gather_neighbors(x, idx), axis=2)
+
+
 def get_local_covariance(x: Array, idx: Array) -> Array:
     """Per-point local covariance features concatenated to the input
     (reference neighbour_ops.py:97-103; unused by the shipped models but part

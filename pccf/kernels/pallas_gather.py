@@ -100,6 +100,58 @@ def _pool_bwd(res, g):
 graph_max_pool_tpu.defvjp(_pool_fwd, _pool_bwd)
 
 
+def _sum_pool_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int):
+    def body(i0, _):
+        for u in range(_UNROLL):
+            i = i0 * _UNROLL + u
+            row = x_ref[pl.ds(idx_ref[i, 0], 1), :]
+            for j in range(1, k):
+                row = row + x_ref[pl.ds(idx_ref[i, j], 1), :]
+            out_ref[pl.ds(i, 1), :] = row
+        return _
+
+    jax.lax.fori_loop(0, tile // _UNROLL, body, None)
+
+
+def _sum_pool_forward(x: Array, idx: Array) -> Array:
+    b, n, c = x.shape
+    k = idx.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_sum_pool_kernel, tile=_TILE_N, k=k),
+        grid=(b, n // _TILE_N),
+        in_specs=[
+            pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, n, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, _TILE_N, c), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+    )(idx.astype(jnp.int32), x)
+
+
+@jax.custom_vjp
+def graph_sum_pool_tpu(x: Array, idx: Array) -> Array:
+    """``sum_j x[b, idx[b, n, j], :]`` — Pallas forward, scatter-add backward."""
+    return _sum_pool_forward(x, idx)
+
+
+def _sum_pool_fwd(x, idx):
+    return _sum_pool_forward(x, idx), (x.shape, idx)
+
+
+def _sum_pool_bwd(res, g):
+    shape, idx = res
+    b = jnp.arange(shape[0])[:, None, None]
+    gk = jnp.broadcast_to(g[:, :, None, :], (*idx.shape, shape[-1]))
+    dx = jnp.zeros(shape, g.dtype).at[b, idx, :].add(gk)
+    return dx, None
+
+
+graph_sum_pool_tpu.defvjp(_sum_pool_fwd, _sum_pool_bwd)
+
+
 def _gather_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int):
     def body(i0, _):
         for u in range(_UNROLL):

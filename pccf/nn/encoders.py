@@ -64,9 +64,37 @@ class EdgeConvBlock(nn.Module):
         s = jnp.dot(x, kernel[c:] - w_diff)  # (B, N, F): per-centre term
 
         monotone = self.act_name in ('', 'LeakyReLU', 'ReLU') or self.act is None
-        if not train and monotone:
-            a = scale * jax.lax.rsqrt(ra_var.value + eps)
-            b = bias - ra_mean.value * a
+        if monotone:
+            # Streaming path, train AND eval: BN is a per-channel affine, the
+            # per-centre shift is constant over the k neighbours, and max
+            # commutes with a monotone activation — so the (B, N, k, F) edge
+            # tensor is never materialised.  In training the batch statistics
+            # of the gathered tensor reduce to neighbour sums:
+            #   E[u_g] = Σ_k u[idx] / (BNk),  E[pre²] = E[u_g²] + 2 E[u_g·s] + E[s²]
+            # (one fused sum-pool of [u, u²] gives both u-moments; the cross
+            # term uses the same per-centre neighbour sum).  Mathematically
+            # identical to normalising the materialised tensor.
+            if train:
+                f = u.shape[-1]
+                sums = kapi.graph_sum_pool(jnp.concatenate([u, u * u], axis=-1), idx)
+                usum, u2sum = sums[..., :f], sums[..., f:]
+                denom = u.shape[0] * u.shape[1] * idx.shape[-1]
+                e_u = jnp.sum(usum, axis=(0, 1)) / denom
+                e_u2 = jnp.sum(u2sum, axis=(0, 1)) / denom
+                e_cross = jnp.sum(s * usum, axis=(0, 1)) / denom
+                batch_mean = e_u + jnp.mean(s, axis=(0, 1))
+                batch_var = (
+                    e_u2 + 2.0 * e_cross + jnp.mean(jnp.square(s), axis=(0, 1))
+                    - jnp.square(batch_mean)
+                )
+                if not self.is_initializing():
+                    ra_mean.value = momentum * ra_mean.value + (1 - momentum) * batch_mean
+                    ra_var.value = momentum * ra_var.value + (1 - momentum) * batch_var
+                mean, var = batch_mean, batch_var
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            a = scale * jax.lax.rsqrt(var + eps)
+            b = bias - mean * a
             pooled = kapi.graph_max_pool(u * a, idx)
             out = pooled + s * a + b
             return self.act(out) if self.act is not None else out

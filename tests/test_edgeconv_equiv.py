@@ -42,6 +42,76 @@ def test_edgeconv_matches_direct_formulation():
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
 
+def _materialised_train_oracle(variables, x, k, slope=0.2):
+    """Reference train-mode forward: gather -> batch-stat BN -> act -> max."""
+    idx = ops.knn(x, k)
+    kernel = variables['params']['kernel']
+    c = x.shape[-1]
+    u = np.asarray(x @ kernel[:c])
+    s = np.asarray(x @ (kernel[c:] - kernel[:c]))
+    pre = np.asarray(ops.gather_neighbors(jnp.asarray(u), idx)) + s[:, :, None, :]
+    mean = pre.mean((0, 1, 2))
+    var = (pre**2).mean((0, 1, 2)) - mean**2
+    scale = np.asarray(variables['params']['bn_scale'])
+    bias = np.asarray(variables['params']['bn_bias'])
+    z = (pre - mean) / np.sqrt(var + 1e-5) * scale + bias
+    out = np.where(z > 0, z, slope * z).max(axis=2)
+    return out, mean, var
+
+
+def test_streaming_train_path_matches_materialised():
+    """Train mode: streaming counts-based BN stats == materialised stats,
+    same output, same running-stat update, same gradients."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 6)).astype(np.float32))
+    block = EdgeConvBlock(features=8, k=4, act=lambda v: jax.nn.leaky_relu(v, 0.2))
+    variables = _randomized_variables(block, x, rng)
+    params = dict(variables['params'])
+    params['bn_scale'] = params['bn_scale'].at[1].set(-0.6)  # negative scale too
+    variables = {'params': params, 'batch_stats': variables['batch_stats']}
+
+    out, updates = block.apply(variables, x, None, train=True, mutable=['batch_stats'])
+    want, mean, var = _materialised_train_oracle(variables, x, 4)
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+    momentum = 0.9
+    ra_mean = np.asarray(variables['batch_stats']['bn_mean'])
+    ra_var = np.asarray(variables['batch_stats']['bn_var'])
+    np.testing.assert_allclose(
+        np.asarray(updates['batch_stats']['bn_mean']),
+        momentum * ra_mean + (1 - momentum) * mean,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(updates['batch_stats']['bn_var']),
+        momentum * ra_var + (1 - momentum) * var,
+        atol=1e-5,
+    )
+
+    # gradients through the streaming stats must match the materialised path
+    def loss_streaming(xx):
+        o, _ = block.apply(variables, xx, None, train=True, mutable=['batch_stats'])
+        return jnp.sum(o**2)
+
+    def loss_materialised(xx):
+        idx = ops.knn(xx, 4)
+        kernel = variables['params']['kernel']
+        c = xx.shape[-1]
+        u = xx @ kernel[:c]
+        s = xx @ (kernel[c:] - kernel[:c])
+        pre = ops.gather_neighbors(u, idx) + s[:, :, None, :]
+        mean = jnp.mean(pre, axis=(0, 1, 2))
+        var = jnp.mean(pre**2, axis=(0, 1, 2)) - mean**2
+        z = (pre - mean) * jax.lax.rsqrt(var + 1e-5) * variables['params']['bn_scale']
+        z = z + variables['params']['bn_bias']
+        o = jnp.max(jnp.where(z > 0, z, 0.2 * z), axis=2)
+        return jnp.sum(o**2)
+
+    g1 = jax.grad(loss_streaming)(x)
+    g2 = jax.grad(loss_materialised)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-4)
+
+
 def test_eval_fast_path_equals_standard_path():
     # the folded-affine/max-swap path must equal the materialised path,
     # including with negative BN scales (fold handles sign; act stays last)

@@ -93,6 +93,20 @@ class TestGatherPoolInterpret:
         assert (np.asarray(graph_max_pool_tpu(x, idx)) == np.asarray(ops.graph_max_pool(x, idx))).all()
         assert (np.asarray(gather_neighbors_tpu(x, idx)) == np.asarray(ops.gather_neighbors(x, idx))).all()
 
+    def test_sum_pool_matches_golden_with_grads(self, interpret_pallas):
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_gather import graph_sum_pool_tpu
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((2, 256, 16)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 256, (2, 256, 5)).astype(np.int32))
+        np.testing.assert_allclose(
+            np.asarray(graph_sum_pool_tpu(x, idx)), np.asarray(ops.graph_sum_pool(x, idx)), atol=1e-5
+        )
+        gt = jax.grad(lambda a: jnp.sum(graph_sum_pool_tpu(a, idx) ** 2))(x)
+        gr = jax.grad(lambda a: jnp.sum(ops.graph_sum_pool(a, idx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-4)
+
 
 class TestLossKernelsInterpret:
     def test_nn_distance_matches_golden(self, interpret_pallas):
