@@ -25,8 +25,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pccf.kernels import ops
-
 Array = jax.Array
 
 _TILE_N = 256
@@ -73,27 +71,65 @@ def _pool_forward(x: Array, idx: Array) -> Array:
     )(idx.astype(jnp.int32), x)
 
 
+def _pool_src_kernel(idx_ref, x_ref, out_ref, src_ref, *, tile: int, k: int):
+    """Max-pool that also records the argmax *source row* per channel, so the
+    backward is a pure scatter (no (B, N, k, C) re-gather).  Ties keep the
+    earliest neighbour slot, matching ``argmax``-first semantics."""
+
+    def body(i0, _):
+        for u in range(_UNROLL):
+            i = i0 * _UNROLL + u
+            row = x_ref[pl.ds(idx_ref[i, 0], 1), :]
+            src = jnp.full(row.shape, idx_ref[i, 0], jnp.int32)
+            for j in range(1, k):
+                cand = x_ref[pl.ds(idx_ref[i, j], 1), :]
+                upd = cand > row
+                row = jnp.where(upd, cand, row)
+                src = jnp.where(upd, idx_ref[i, j], src)
+            out_ref[pl.ds(i, 1), :] = row
+            src_ref[pl.ds(i, 1), :] = src
+        return _
+
+    jax.lax.fori_loop(0, tile // _UNROLL, body, None)
+
+
+def _pool_src_forward(x: Array, idx: Array) -> tuple[Array, Array]:
+    b, n, c = x.shape
+    k = idx.shape[-1]
+    spec = pl.BlockSpec((None, _TILE_N, c), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_pool_src_kernel, tile=_TILE_N, k=k),
+        grid=(b, n // _TILE_N),
+        in_specs=[
+            pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, n, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, n, c), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+    )(idx.astype(jnp.int32), x)
+
+
 @jax.custom_vjp
 def graph_max_pool_tpu(x: Array, idx: Array) -> Array:
-    """``max_j x[b, idx[b, n, j], :]`` — Pallas forward, XLA-recompute backward."""
+    """``max_j x[b, idx[b, n, j], :]`` — Pallas forward, scatter backward."""
     return _pool_forward(x, idx)
 
 
 def _pool_fwd(x, idx):
-    return _pool_forward(x, idx), (x, idx)
+    out, src = _pool_src_forward(x, idx)
+    return out, (x.shape, src)
 
 
 def _pool_bwd(res, g):
-    x, idx = res
-    b, n, c = x.shape
-    gathered = ops.gather_neighbors(x, idx)  # (B, N, k, C)
-    jstar = jnp.argmax(gathered, axis=2)  # (B, N, C)
-    rows = jnp.take_along_axis(
-        jnp.broadcast_to(idx[:, :, :, None], gathered.shape), jstar[:, :, None, :], axis=2
-    )[:, :, 0, :]  # (B, N, C): source row of each max
+    shape, rows = res
+    b, _, c = shape
     bidx = jnp.arange(b)[:, None, None]
     cidx = jnp.arange(c)[None, None, :]
-    dx = jnp.zeros_like(x).at[bidx, rows, cidx].add(g)
+    dx = jnp.zeros(shape, g.dtype).at[bidx, rows, cidx].add(g)
     return dx, None
 
 

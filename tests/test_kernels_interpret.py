@@ -92,6 +92,10 @@ class TestGatherPoolInterpret:
         idx = jnp.asarray(rng.integers(0, 256, (2, 256, 5)).astype(np.int32))
         assert (np.asarray(graph_max_pool_tpu(x, idx)) == np.asarray(ops.graph_max_pool(x, idx))).all()
         assert (np.asarray(gather_neighbors_tpu(x, idx)) == np.asarray(ops.gather_neighbors(x, idx))).all()
+        # argmax-source scatter backward == XLA max gradient (first-max ties)
+        gt = jax.grad(lambda a: jnp.sum(graph_max_pool_tpu(a, idx) ** 2))(x)
+        gr = jax.grad(lambda a: jnp.sum(ops.graph_max_pool(a, idx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-5)
 
     def test_sum_pool_matches_golden_with_grads(self, interpret_pallas):
         from pccf.kernels import ops
