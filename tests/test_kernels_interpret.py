@@ -139,6 +139,12 @@ class TestLossKernelsInterpret:
         want = np.asarray(ops.match_cost(x, y))
         np.testing.assert_allclose(got, want, rtol=5e-4)
 
+        # analytic custom-vjp grads (match treated as constant) vs golden
+        gt = jax.grad(lambda a, b: jnp.sum(match_cost_tpu(a, b)), argnums=(0, 1))(x, y)
+        gr = jax.grad(lambda a, b: jnp.sum(ops.match_cost(a, b)), argnums=(0, 1))(x, y)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
+
 
 class TestPCGenFusedInterpret:
     def test_fused_decoder_matches_slow_path(self, interpret_pallas, monkeypatch):
