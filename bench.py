@@ -182,6 +182,29 @@ def bench_train_step(batch=8, n=2048, iters=8):
 
 
 def main() -> None:
+    # Fail fast with a parseable line if the TPU tunnel is wedged: a direct
+    # jax.devices() in that state hangs forever (the axon plugin retries
+    # indefinitely), so probe device init in a disposable subprocess first.
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            capture_output=True,
+            timeout=600,
+            check=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
+            'value': 0.0,
+            'unit': 'pairs/s',
+            'vs_baseline': 0.0,
+            'error': f'device init failed/hung: {type(e).__name__}',
+        }))
+        raise SystemExit(1)
+
     results = bench_loss_kernels()
     try:
         results.update(bench_counterfactual())
