@@ -114,6 +114,24 @@ def graph_max_pool(x: Array, idx: Array) -> Array:
     return jnp.max(gather_neighbors(x, idx), axis=2)
 
 
+def interleave_residual(x: Array, out_features: int) -> Array:
+    """Reference residual ``repeat_interleave(out//in + 1, -1)[..., :out]``
+    (layers.py:165-167), built from the surviving prefix only.
+
+    Only the first ``ceil(out/reps)`` source channels survive the truncation,
+    so the broadcast starts from that prefix — at ``out == in`` this
+    materialises an (…, out)-sized intermediate instead of (…, 2·in).
+    Single source of truth for :class:`pccf.nn.layers.DenseBlock` and the
+    fused PCGen kernel (their layouts must match exactly)."""
+    in_features = x.shape[-1]
+    reps = out_features // in_features + 1
+    src = -(-out_features // reps)
+    pre = x[..., :src]
+    return jnp.broadcast_to(pre[..., None], (*pre.shape, reps)).reshape(
+        *x.shape[:-1], src * reps
+    )[..., :out_features]
+
+
 def graph_sum_pool(x: Array, idx: Array) -> Array:
     """Sum over the k neighbours of each point: ``(B, N, C)``.
 

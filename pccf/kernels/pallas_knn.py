@@ -74,7 +74,8 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
     diagonal is excluded in the same select pass that masks padding and slot
     0 is emitted directly — only k-1 extractions run.  (On exactly duplicated
     points the golden ``top_k`` may order the duplicate before self; the
-    neighbour *set* is identical for k >= 2 since both duplicates qualify.)"""
+    neighbour *set* is identical for k >= 2 since both duplicates qualify.
+    k == 1 therefore skips the shortcut and extracts normally.)"""
     x = x_ref[...]  # (N, C)
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (N, 1)
     n_tiles = n // _TILE
@@ -85,21 +86,29 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
     net8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7), (1, 2), (5, 6),
             (0, 4), (1, 5), (2, 6), (3, 7), (1, 4), (3, 6), (2, 4), (3, 5), (3, 4)]
 
+    # k == 1: the golden top_k returns the lowest-index zero-distance point,
+    # which on exact duplicates need not be self — run a plain extraction
+    # (self stays a candidate) so the neighbour matches the golden exactly.
+    self_shortcut = k > 1
+
     def tile_body(t, _):
         xt = x_ref[pl.ds(t * _TILE, _TILE), :]  # (T, C) centres
         xt_sq = jnp.sum(xt * xt, axis=-1)[None, :]  # (1, T)
         cross = _cross_bf16x3(x, xt)  # (N, T): candidate-major
         d = x_sq - 2.0 * cross + xt_sq
         centres = lane_ids + t * _TILE
-        # mask padded candidates AND the self diagonal in one pass
-        d = jnp.where((cand_ids < valid_n) & (cand_ids != centres), d, _BIG)
+        # mask padded candidates AND (for the shortcut) the self diagonal
+        keep = cand_ids < valid_n
+        if self_shortcut:
+            keep = keep & (cand_ids != centres)
+        d = jnp.where(keep, d, _BIG)
         key = (jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32) & ~mask) | cand_ids
         eighth = n // 8
         q = [key[i * eighth : (i + 1) * eighth] for i in range(8)]
         for a, b in net8:
             q[a], q[b] = jnp.minimum(q[a], q[b]), jnp.maximum(q[a], q[b])
-        outs = [centres[:1, :]]  # slot 0: self
-        for _j in range(k - 1):
+        outs = [centres[:1, :]] if self_shortcut else []  # slot 0: self
+        for _j in range(k - 1 if self_shortcut else k):
             m = jnp.min(q[0], axis=0, keepdims=True)  # (1, T)
             outs.append(m & mask)
             hit = q[0] == m

@@ -25,6 +25,12 @@ default, so fused vs unfused outputs agree to bf16 rounding).
 Eval only: training needs batch statistics and gradients and keeps the XLA
 path (pccf/nn/decoders.py).
 
+Sharding note: the pallas_call declares no sharding rules, so under a
+(dp, mp) tensor-parallel mesh GSPMD replicates the weight operands
+(~21 MB) on every device before the kernel runs — correct, but the TP
+memory saving does not extend into this kernel.  The model fits a single
+chip comfortably; TP serving at these shapes is a demo capability.
+
 Semantics folded in (all cited to the reference):
 - DenseBlock = dense (no bias) + BN running-stat affine + act
   (layers.py:150-170): BN folds to ``W' = W * a``, ``b' = β − μ·a``.
@@ -225,14 +231,6 @@ def fold_bn_affine(kernel: Array, scale: Array, bias: Array, mean: Array, var: A
     return w, bias - mean * a
 
 
-def interleave_residual(x: Array, out_features: int) -> Array:
-    """Reference residual ``repeat_interleave(out//in + 1, -1)[..., :out]``
-    (layers.py:165-167), computed exactly in XLA (Mosaic cannot relayout an
-    interleave across lanes — this arrives as a kernel input instead)."""
-    in_features = x.shape[-1]
-    reps = out_features // in_features + 1
-    src = -(-out_features // reps)
-    pre = x[..., :src]
-    return jnp.broadcast_to(pre[..., None], (*pre.shape, reps)).reshape(
-        *x.shape[:-1], src * reps
-    )[..., :out_features]
+# exact interleave computed in XLA (Mosaic cannot relayout an interleave
+# across lanes, so it enters the kernel through interleaved weights instead)
+from pccf.kernels.ops import interleave_residual  # noqa: E402  (re-export)

@@ -75,7 +75,9 @@ class PCGenDecoder(nn.Module):
         for i, f in enumerate(self.map_dims):
             x = DenseBlock(f, act=jax.nn.relu, act_name='ReLU', batch_norm=False, name=f'map_{i}')(x, train)
 
-        if self._fused_eval_ok(n_output_points, train):
+        # dispatch on the ACTUAL row count: a caller-supplied initial_sampling
+        # may have a different length than n_output_points
+        if self._fused_eval_ok(x.shape[1], train):
             # the Hardtanh map head + join + components run inside the kernel
             x = self._fused_components(x, w)
             if self.filtering:

@@ -96,20 +96,12 @@ class DenseBlock(nn.Module):
         if self.act is not None:
             y = self.act(y)
         if self.residual:
-            # channel-interleaved residual (reference layers.py:165-166:
-            # x.repeat_interleave(out//in + 1, 1)[:, :out]).  Only the first
-            # ceil(out/reps) source channels survive the truncation, so build
-            # the repeat from that prefix — at out == in this materialises an
-            # (… , out)-sized intermediate instead of (…, 2*in), which on the
-            # PCGen conv_0 path (B, 2048, 1024) removes a 268 MB broadcast+
-            # reshape+slice chain XLA would not fuse.
-            reps = self.features // in_features + 1
-            src = -(-self.features // reps)  # ceil
-            pre = x[..., :src]
-            rep = jnp.broadcast_to(
-                pre[..., None], (*pre.shape, reps)
-            ).reshape(*x.shape[:-1], src * reps)[..., : self.features]
-            y = y + rep
+            # channel-interleaved residual (reference layers.py:165-166);
+            # shared with the fused PCGen kernel, whose layer-0 residual must
+            # reproduce this layout exactly
+            from pccf.kernels.ops import interleave_residual
+
+            y = y + interleave_residual(x, self.features)
         return y
 
 

@@ -64,6 +64,13 @@ class TestKnnInterpret:
         ref = np.asarray(ops.knn(x, 4))
         for i in (3, 77):
             assert set(idx[0, i]) == set(ref[0, i])
+        # k == 1 skips the self shortcut: exact-index parity incl. duplicates
+        # (golden top_k returns the LOWEST-index zero-distance point, so the
+        # nearest neighbour of 77 is 3, not itself)
+        idx1 = np.asarray(knn_tpu(x, 1))
+        ref1 = np.asarray(ops.knn(x, 1))
+        assert (idx1 == ref1).all()
+        assert idx1[0, 77, 0] == 3
 
 
 class TestKnnPropertyInterpret:
