@@ -86,6 +86,23 @@ class TestPallasParity:
         gr = jax.grad(lambda a: jnp.sum(ops.graph_max_pool(a, idx) ** 2))(x)
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-5)
 
+    def test_graph_sum_pool(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_gather import graph_sum_pool_tpu
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((2, 512, 64)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 512, (2, 512, 25)).astype(np.int32))
+        out = graph_sum_pool_tpu(x, idx)
+        ref = ops.graph_sum_pool(x, idx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+        gt = jax.grad(lambda a: jnp.sum(graph_sum_pool_tpu(a, idx) ** 2))(x)
+        gr = jax.grad(lambda a: jnp.sum(ops.graph_sum_pool(a, idx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-3)
+
     def test_knn_packed_extraction(self):
         import jax.numpy as jnp
 
