@@ -293,6 +293,25 @@ class TestPCGenFusionHelpers:
         assert not pcgen_fused_supported(100, 1024, (1024, 256, 16), 8)  # tile
         assert not pcgen_fused_supported(2048, 1024, (1024, 256, 256), 8)  # re-expand
 
+    def test_flagship_config_stays_fused_eligible(self):
+        """Regression guard: the shipped flagship config must dispatch the
+        fused serving kernel (a config/predicate drift would silently fall
+        back to the 5x-slower XLA route)."""
+        from pccf.config import get_config_all
+        from pccf.data.protocols import Singleton
+        from pccf.kernels.pallas_pcgen import pcgen_fused_supported
+
+        Singleton.reset_all()
+        cfg = get_config_all([])
+        dec = cfg.autoencoder.model.decoder
+        assert dec.act_name in ('', 'LeakyReLU', 'ReLU')
+        assert pcgen_fused_supported(
+            cfg.data.n_target_points,
+            cfg.autoencoder.model.w_dim,
+            tuple(dec.conv_dims),
+            dec.n_components,
+        )
+
 
 if __name__ == '__main__':
     pytest.main([__file__, '-x', '-q'])
