@@ -83,6 +83,23 @@ def get_moving_average(alpha: float = 0.9) -> Callable[[list[float]], float]:
 # ------------------------------------------------------------ early stopping
 
 
+def resolve_monitored_value(metric: Objective, row: dict[str, float]) -> tuple[str, float | None]:
+    """Value of ``metric`` in a logged metrics row.
+
+    Composite criteria (e.g. ``Chamfer + EMD`` from ``get_recon_loss``) carry
+    the generic name ``'Loss'``, which collides with the *training* loss key
+    (embed term and all) in the log — monitoring that key would track a
+    different signal than the reference's recon criterion.  For those, sum the
+    composite's component calculations from the row instead.
+    """
+    if metric.name != 'Loss' and metric.name in row:
+        return metric.name, row[metric.name]
+    components = [name for name in metric.calculations if name in row]
+    if components and len(components) == len(metric.calculations):
+        return '+'.join(components), float(sum(row[name] for name in components))
+    return metric.name, row.get(metric.name)
+
+
 class EarlyStoppingCallback:
     """Stop when the smoothed validation metric stops improving
     (drytorch EarlyStoppingCallback; wiring at train_classifier.py:40-42)."""
@@ -94,6 +111,8 @@ class EarlyStoppingCallback:
         patience: int = 10,
         monitor: str | None = None,
     ) -> None:
+        self.metric = metric
+        self.monitor = monitor
         self.metric_name = monitor or metric.name
         self.higher_is_better = metric.higher_is_better.get(self.metric_name, False)
         self.filter_fn = filter_fn or (lambda h: h[-1])
@@ -106,7 +125,10 @@ class EarlyStoppingCallback:
         log = trainer.validation_log or trainer.metrics_log
         if not log:
             return
-        value = log[-1].get(self.metric_name)
+        if self.monitor is not None:
+            value = log[-1].get(self.monitor)
+        else:
+            self.metric_name, value = resolve_monitored_value(self.metric, log[-1])
         if value is None:
             return
         if self.higher_is_better:

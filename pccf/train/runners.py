@@ -100,6 +100,10 @@ class _Runner:
         epoch = jnp.asarray(self.model.epoch, jnp.float32)
         # uniform replicated placement (no-op when already replicated)
         variables = replicate(self.model.variables, self.mesh)
+        # metric scalars stay on device until the end of the pass (same async
+        # pipelining rationale as Trainer.train_until); outputs are fetched
+        # per batch so stored reconstructions never accumulate in HBM
+        pending: list[tuple[dict[str, Array], int]] = []
         for i, (inputs, targets) in enumerate(self.loader.get_loader(inference=True)):
             count = len(jax.tree.leaves(inputs)[0])
             binputs = shard_batch(inputs, self.mesh)
@@ -107,9 +111,11 @@ class _Runner:
             metrics, outputs = self._eval_fn(
                 variables, binputs, btargets, jax.random.fold_in(rng, i), epoch
             )
-            self.objective.update_state(jax.device_get(metrics), count)
+            pending.append((metrics, count))
             if store_outputs:
                 self.outputs_list.append(jax.device_get(outputs))
+        for host_metrics, count in jax.device_get(pending):
+            self.objective.update_state(host_metrics, count)
         results = self.objective.compute_metrics()
         self._log(results)
         return results
@@ -153,11 +159,19 @@ class Trainer:
         loader: DataLoader,
         loss: Objective,
         learning_schema: LearningSchema,
+        frozen: tuple[str, ...] = (),
     ) -> None:
         self.model = model
         self.loader = loader
         self.objective = loss.copy()
         self.schema = learning_schema
+        # top-level params subtrees excluded from optimisation entirely (zero
+        # update, zero weight decay) — the reference marks the embedded
+        # w_autoencoder requires_grad=False at construction
+        # (src/module/autoencoders.py:96-98), so torch's AdamW never visits it;
+        # without this mask optax AdamW's decoupled decay would shrink the
+        # trained inner CVAE during stage-1 / EMD fine-tune runs.
+        self.frozen = tuple(frozen)
         self.mesh = get_mesh()
         n = self.mesh.devices.size
         if loader.batch_size % n:
@@ -198,7 +212,20 @@ class Trainer:
 
         opt = schema.optimizer_factory(lr_schedule, **schema.opt_settings)
         grad_op = get_grad_op(schema.gradient_op_name, schema.clip_criterion)
-        return optax.chain(grad_op, opt)
+        tx = optax.chain(grad_op, opt)
+        if self.frozen:
+            frozen = set(self.frozen)
+
+            def label_tree(params):
+                return {
+                    k: jax.tree.map(lambda _: 'frozen' if k in frozen else 'train', v)
+                    for k, v in params.items()
+                }
+
+            tx = optax.multi_transform(
+                {'train': tx, 'frozen': optax.set_to_zero()}, label_tree
+            )
+        return tx
 
     def _ensure_state(self) -> TrainState:
         if self._state is None:
@@ -310,12 +337,18 @@ class Trainer:
                 t0 = time.time()
                 epoch_arr = jnp.asarray(epoch, jnp.float32)
                 self.objective.reset_state()
+                # metrics stay on device during the epoch: fetching them per
+                # step would block on each step's completion and defeat async
+                # dispatch pipelining; one transfer at epoch end syncs instead
+                step_metrics: list[dict[str, Array]] = []
                 for i, (inputs, targets) in enumerate(self.loader.epoch_iterator(epoch)):
                     rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
                     binputs = shard_batch(inputs, self.mesh, strict=True)
                     btargets = shard_batch(targets, self.mesh, strict=True)
                     state, metrics = self._train_fn(state, binputs, btargets, rng, epoch_arr)
-                    self.objective.update_state(jax.device_get(metrics), 1)
+                    step_metrics.append(metrics)
+                for host_metrics in jax.device_get(step_metrics):
+                    self.objective.update_state(host_metrics, 1)
                 self._state = state
                 self.model.epoch = epoch
                 self._sync_model(state)

@@ -150,8 +150,10 @@ class HydraLinkTracker:
             import dataclasses
 
             path.write_text(json.dumps(dataclasses.asdict(exp.config), default=str, indent=2))
-        except Exception:
-            pass
+        except (TypeError, ValueError, OSError) as err:
+            # config serialization is best-effort (non-dataclass configs in
+            # tests), but say so rather than silently dropping the artifact
+            logging.getLogger('pccf').warning('could not persist composed config: %s', err)
 
     def log_metrics(self, **kwargs) -> None:
         pass

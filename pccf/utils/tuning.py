@@ -457,15 +457,18 @@ class TrialCallback:
 
     def __init__(self, trial: Trial, metric: Any, filter_fn: Callable[[list[float]], float] | None = None):
         self.trial = trial
+        self.metric = metric
         self.metric_name = metric.name
         self.filter_fn = filter_fn or (lambda h: h[-1])
         self.history: list[float] = []
 
     def __call__(self, trainer: Any) -> None:
+        from pccf.train.hooks import resolve_monitored_value
+
         log = trainer.validation_log or trainer.metrics_log
         if not log:
             return
-        value = log[-1].get(self.metric_name)
+        self.metric_name, value = resolve_monitored_value(self.metric, log[-1])
         if value is None:
             # composite metric: first component available
             value = next(iter(log[-1].values()))

@@ -165,3 +165,37 @@ class TestLossFormulas:
         assert float(mse[0]) == pytest.approx(5.0)
         acc = losses.get_w_accuracy().compute_all(out, t)['Quantisation Accuracy']
         assert float(acc[0]) == pytest.approx(1.0)
+
+
+class TestMonitoredValueResolution:
+    """Composite recon criteria must not be confused with the training 'Loss'
+    key (VERDICT r2 weak #5): Chamfer+EMD is named 'Loss' by the objective
+    algebra, colliding with the full training loss in the log row."""
+
+    def _row(self):
+        # a log row as produced by a ChamferEMD training epoch: 'Loss' is the
+        # FULL training loss (recon + embed), not the recon criterion
+        return {'Chamfer': 1.0, 'EMD': 2.0, 'Embed. Loss': 0.5, 'Loss': 3.5}
+
+    def test_composite_sums_components(self):
+        from pccf.train.hooks import resolve_monitored_value
+
+        composite = losses.get_chamfer_loss() + losses.get_emd_loss()
+        assert composite.name == 'Loss'  # the collision this guards against
+        name, value = resolve_monitored_value(composite, self._row())
+        assert name == 'Chamfer+EMD'
+        assert value == pytest.approx(3.0)  # NOT the 3.5 training loss
+
+    def test_simple_metric_passthrough(self):
+        from pccf.train.hooks import resolve_monitored_value
+
+        chamfer = losses.get_chamfer_loss()
+        name, value = resolve_monitored_value(chamfer, self._row())
+        assert name == 'Chamfer' and value == pytest.approx(1.0)
+
+    def test_missing_component_falls_back(self):
+        from pccf.train.hooks import resolve_monitored_value
+
+        composite = losses.get_chamfer_loss() + losses.get_emd_loss()
+        name, value = resolve_monitored_value(composite, {'Chamfer': 1.0, 'Loss': 9.0})
+        assert value == 9.0  # incomplete components: keep the named key

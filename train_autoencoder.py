@@ -62,7 +62,10 @@ def train_autoencoder(trial: Any | None = None) -> float | None:
 
     schema = get_learning_schema(cfg.autoencoder)
     loss = get_autoencoder_loss(cfg)
-    trainer = Trainer(model, train_loader, loss, schema)
+    # the embedded inner CVAE trains only in stage 2; stage 1 must not touch
+    # it — not even via decoupled weight decay (reference freezes it with
+    # requires_grad=False, src/module/autoencoders.py:96-98)
+    trainer = Trainer(model, train_loader, loss, schema, frozen=('w_autoencoder',))
     diagnostic = Diagnostic(model, train_loader, objective=loss)
     test_all_metrics = Test(model, test_loader, metric=loss | get_emd_loss(), name='FinalTest')
 
