@@ -73,7 +73,9 @@ def shard_batch(batch: Any, mesh: Mesh, strict: bool = False) -> Any:
     ``batch_size_per_device`` validator)."""
     sharded = batch_sharding(mesh)
     repl = replicated(mesh)
-    n = mesh.devices.size
+    # the batch is split over the data axis only — on a 2-D (dp, mp) mesh the
+    # mp dimension replicates the batch, so divisibility is against dp alone
+    n = dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
 
     def put(x):
         if x is None:

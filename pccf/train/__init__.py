@@ -20,7 +20,7 @@ from pccf.train.model import Model, ModelEpoch
 from pccf.train.objectives import Loss, Metric, Objective, compute_metrics
 from pccf.train.runners import ConvergenceError, Diagnostic, StopTraining, Test, Trainer
 from pccf.train.schedulers import LearningSchema, get_learning_schema
-from pccf.train.tp import tp_state, tp_train_step
+from pccf.train.tp import TPTrainer, tp_state, tp_train_step
 from pccf.train.trackers import TrackerNotUsedError, get_trackers
 
 __all__ = [
@@ -52,6 +52,7 @@ __all__ = [
     'get_trailing_mean',
     'get_w_autoencoder_loss',
     'saving_hook',
+    'TPTrainer',
     'tp_state',
     'tp_train_step',
 ]

@@ -160,6 +160,7 @@ class Trainer:
         loss: Objective,
         learning_schema: LearningSchema,
         frozen: tuple[str, ...] = (),
+        mesh: Any | None = None,
     ) -> None:
         self.model = model
         self.loader = loader
@@ -172,9 +173,14 @@ class Trainer:
         # without this mask optax AdamW's decoupled decay would shrink the
         # trained inner CVAE during stage-1 / EMD fine-tune runs.
         self.frozen = tuple(frozen)
-        self.mesh = get_mesh()
-        n = self.mesh.devices.size
+        self.mesh = mesh if mesh is not None else get_mesh()
+        n = dict(self.mesh.shape).get('dp', self.mesh.devices.size)
         if loader.batch_size % n:
+            if mesh is not None:
+                raise ValueError(
+                    f'batch_size {loader.batch_size} is not divisible by the '
+                    f'{n}-way data axis of the provided mesh'
+                )
             # never silently degrade to fully-replicated compute: shard over
             # the largest divisor instead and say so (runtime counterpart of
             # the specs.py batch_size_per_device validator)

@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pccf.dist.sharding import shard_params_tp
+from pccf.train.runners import Trainer, TrainState
 
 
 def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
@@ -68,6 +69,10 @@ def tp_train_step(
     of the trainer's train step — same math, different layout — so metrics and
     updated parameters match the data-parallel step to float tolerance
     (asserted by tests/test_tp.py).
+
+    One-shot equivalence probe: it re-shards the trainer's params on every
+    call.  For actual training on a (dp, mp) mesh use :class:`TPTrainer`,
+    which persists the TP-sharded state across steps and epochs.
     """
     state = tp_state(trainer, mesh, min_size=min_size)
     binputs = _put_dp(inputs, mesh)
@@ -80,3 +85,52 @@ def tp_train_step(
     if return_state:
         return host_metrics, new_state
     return host_metrics
+
+
+class TPTrainer(Trainer):
+    """Trainer over a 2-D ``(dp, mp)`` mesh with persistent TP-sharded state.
+
+    Same epoch-loop surface as :class:`~pccf.train.runners.Trainer` — the
+    differences are placement only:
+
+    - parameters live column-sharded over ``mp`` (``shard_params_tp``) and
+      STAY sharded across steps and epochs (no per-call re-sharding);
+    - the optimiser state is initialised under jit from the sharded params so
+      its moments inherit the layout via sharding propagation;
+    - batches shard over ``dp`` and replicate over ``mp``
+      (``shard_batch`` checks divisibility against the dp axis alone).
+
+    The train step itself is the base class's jitted function: GSPMD derives
+    the mp all-gathers/reduce-scatters from the parameter layout alone.
+    """
+
+    def __init__(self, model, loader, loss, learning_schema, mesh: Mesh, min_size: int = 32, frozen: tuple[str, ...] = ()):
+        if not {'dp', 'mp'} <= set(dict(mesh.shape)):
+            raise ValueError(
+                f"TPTrainer needs a ('dp', 'mp') mesh, got axes {tuple(dict(mesh.shape))}"
+            )
+        super().__init__(model, loader, loss, learning_schema, frozen=frozen, mesh=mesh)
+        self.min_size = min_size
+
+    def _ensure_state(self) -> 'TrainState':
+        if self._state is None:
+            self._tx = self._make_tx()
+            params = shard_params_tp(
+                jax.device_get(self.model.params), self.mesh, min_size=self.min_size
+            )
+            opt_state = jax.jit(self._tx.init)(params)
+            stats = self.model.batch_stats
+            if stats is not None and jax.tree.leaves(stats):
+                repl = NamedSharding(self.mesh, P())
+                stats = jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(x), repl), jax.device_get(stats)
+                )
+            else:
+                stats = {}
+            self._state = TrainState(
+                params=params,
+                batch_stats=stats,
+                opt_state=opt_state,
+                step=jnp.asarray(self.model.epoch * self._steps_per_epoch(), jnp.int32),
+            )
+        return self._state

@@ -125,3 +125,61 @@ class TestTensorParallel:
             if hasattr(leaf, 'sharding') and not leaf.sharding.is_fully_replicated
         )
         assert n_sharded > 0, 'no parameter was actually column-sharded'
+
+    def test_tp_trainer_persists_state_across_steps(self, setup):
+        """TPTrainer holds TP-sharded state across steps (VERDICT r2 weak #4):
+        no per-call re-sharding, params stay column-sharded, loss decreases."""
+        from pccf.train import TPTrainer
+
+        cfg, module, _, _, inputs, targets = setup
+        from pccf.train import DataLoader, Model, get_autoencoder_loss, get_learning_schema
+
+        cloud = np.asarray(inputs.cloud)
+
+        class _DS:
+            def __len__(self):
+                return BATCH
+
+            def __getitem__(self, i):
+                from pccf.data.structures import Inputs as I, Targets as T
+
+                return (I(cloud=cloud[i]), T(ref_cloud=cloud[i], label=np.int64(0)))
+
+        model = Model(module, name='tp-train-test', seed=0)
+        model.initialize(
+            type(inputs)(cloud=cloud[:1]), np.zeros((1, 2), np.float32), method='full_init'
+        )
+        mesh2 = make_2d_mesh(8, mp=2)
+        trainer = TPTrainer(
+            model,
+            DataLoader(_DS(), BATCH),
+            get_autoencoder_loss(cfg),
+            get_learning_schema(cfg.autoencoder),
+            mesh=mesh2,
+            min_size=32,
+        )
+        trainer.prepare()
+        state0 = trainer.state
+        step0 = int(state0.step)  # read now: run_step donates this state
+        sharded_before = {
+            id(leaf) for leaf in jax.tree.leaves(state0.params)
+            if hasattr(leaf, 'sharding') and not leaf.sharding.is_fully_replicated
+        }
+        assert sharded_before, 'TPTrainer state has no column-sharded parameter'
+
+        losses_seen = []
+        for step in range(3):
+            metrics = trainer.run_step(inputs, targets, rng=jax.random.key(step), epoch=1.0)
+            losses_seen.append(metrics['Loss'])
+        # state persisted and advanced (not rebuilt from model params per call)
+        assert int(trainer.state.step) == step0 + 3
+        # params still column-sharded after stepping
+        assert any(
+            hasattr(leaf, 'sharding') and not leaf.sharding.is_fully_replicated
+            for leaf in jax.tree.leaves(trainer.state.params)
+        )
+        assert losses_seen[-1] < losses_seen[0], f'loss did not decrease: {losses_seen}'
+
+        # a full epoch loop over the (dp, mp) mesh also runs
+        trainer.train_until(1)
+        assert trainer.metrics_log and np.isfinite(trainer.metrics_log[-1]['Loss'])
