@@ -89,6 +89,35 @@ def bench_loss_kernels(batch=8, n=2048):
     return results
 
 
+def bench_auction(n=2048):
+    """Auction EMD at the reference contract operating points
+    (external/emd/emd/emd_module.py:25-31): train eps=0.005/50 iters,
+    eval eps=0.002/10000-iter cap (compacted auction exits at convergence)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from pccf.kernels.auction_emd import auction_emd
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, n, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((1, n, 3)).astype(np.float32))
+    out = {}
+    for tag, eps, iters in [('train', 0.005, 50), ('eval', 0.002, 10000)]:
+        dis, a = auction_emd(x, y, eps=eps, iters=iters)  # compile + warm
+        dis.block_until_ready()
+        best = float('inf')
+        for _ in range(3):
+            t0 = _time.time()
+            dis, a = auction_emd(x, y, eps=eps, iters=iters)
+            dis.block_until_ready()
+            best = min(best, _time.time() - t0)
+        out[f'auction_{tag}_ms'] = best * 1e3
+        if tag == 'eval':
+            out['auction_eval_converged'] = bool((np.asarray(a) >= 0).all())
+    return out
+
+
 def bench_counterfactual(batch=16, n=2048):
     """Full counterfactual decode (encode -> interpolate -> decode) at the
     reference flagship shapes: w_dim 1024 = 256 codes x 4, transformer 512."""
@@ -214,6 +243,10 @@ def main() -> None:
         results.update(bench_train_step())
     except Exception as e:
         results['train_step_error'] = str(e)[:200]
+    try:
+        results.update(bench_auction())
+    except Exception as e:
+        results['auction_error'] = str(e)[:200]
     value = results['chamfer_emd_pairs_per_s']
     line = {
         'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',

@@ -3,10 +3,19 @@
 TPU-native counterpart of the reference's vendored auction EMD
 (external/emd/: ``emd_cuda.cu`` Bid/GetMax/Assign phases, ``emd_module.py``).
 The CUDA code runs Gauss-Seidel auction rounds with scatter/atomic updates;
-here it is a **Jacobi auction** in dense XLA ops inside ``lax.fori_loop`` —
-every unassigned point bids simultaneously, items take the best bid, previous
-owners are evicted — which maps onto the TPU as batched matmuls, top-k and
-one-hot reductions with no data-dependent shapes.
+here it is a **compacted Jacobi auction** in dense XLA ops inside
+``lax.while_loop``:
+
+- the pairwise distance matrix is computed once and stays in HBM; each round
+  gathers the rows of up to ``k_active`` still-unassigned points (cumsum
+  compaction — no data-dependent shapes) and only those bid, so per-round cost
+  is ``O(B * k_active * M)`` instead of ``O(B * N * M)``;
+- items take the best bid simultaneously (Jacobi), previous owners are
+  evicted; the top-2 benefit per bidder is two masked max passes, not a sort;
+- the loop terminates as soon as every point is assigned — the ``iters``
+  argument is the *cap*, matching the reference contract where eval calls
+  pass ~10000 iterations but the auction stops at convergence
+  (external/emd/emd/emd_module.py:25-31).
 
 Contract mirrors ``emdModule`` (emd_module.py:17-31):
 - inputs ``(B, N, 3)`` / ``(B, M, 3)``; intended for clouds normalised to
@@ -34,15 +43,19 @@ Array = jax.Array
 _NEG = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=('iters',))
-def auction_emd(x1: Array, x2: Array, eps: float = 0.005, iters: int = 50) -> tuple[Array, Array]:
-    """Approximate optimal assignment EMD via Jacobi auction.
+@functools.partial(jax.jit, static_argnames=('iters', 'k_active'))
+def auction_emd(
+    x1: Array, x2: Array, eps: float = 0.005, iters: int = 50, k_active: int = 256
+) -> tuple[Array, Array]:
+    """Approximate optimal assignment EMD via compacted Jacobi auction.
 
     Args:
         x1: ``(B, N, 3)`` source cloud.
         x2: ``(B, M, 3)`` target cloud, ``M >= N``.
-        eps: minimal bid increment (smaller -> more accurate, more iters).
-        iters: auction rounds.
+        eps: minimal bid increment (smaller -> more accurate, more rounds).
+        iters: maximum auction rounds (loop exits early once all assigned).
+        k_active: max simultaneous bidders per round; bounds the per-round
+            working set gathered from the distance matrix.
 
     Returns:
         dis: ``(B, N)`` squared distance to the assigned target point.
@@ -50,46 +63,72 @@ def auction_emd(x1: Array, x2: Array, eps: float = 0.005, iters: int = 50) -> tu
     """
     b, n, _ = x1.shape
     m = x2.shape[1]
+    k = min(k_active, n)
     d2 = square_distance(x1, x2)  # (B, N, M)
     neg_d2 = -d2
+    batch_idx = jnp.arange(b)[:, None]
+    row_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
+    item_ids = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (b, m))
 
-    def body(_, state):
-        assignment, owner, price = state
+    def cond(state):
+        it, assignment, _owner, _price = state
+        return (it < iters) & jnp.any(assignment < 0)
+
+    def body(state):
+        it, assignment, owner, price = state
         unassigned = assignment < 0  # (B, N)
-        benefits = neg_d2 - price[:, None, :]  # (B, N, M)
-        top2, top2i = jax.lax.top_k(benefits, 2)
-        j_star = top2i[..., 0]  # (B, N)
-        increment = top2[..., 0] - top2[..., 1] + eps
-        bid_value = jnp.take_along_axis(price, j_star, axis=1) + increment  # (B, N)
-        bid_value = jnp.where(unassigned, bid_value, _NEG)
-        # winning bid per item: max over bidders (dense one-hot contraction)
-        onehot = jax.nn.one_hot(j_star, m, dtype=d2.dtype)  # (B, N, M)
-        bids = jnp.where(onehot > 0, bid_value[:, :, None], _NEG)
+        # --- compact: row ids of the first k unassigned points per batch ---
+        pos = jnp.cumsum(unassigned, axis=1) - 1  # rank among unassigned
+        valid = unassigned & (pos < k)
+        scatter_pos = jnp.where(valid, pos, k)  # k = dump slot
+        rows_ext = jnp.full((b, k + 1), n, jnp.int32)
+        rows_ext = rows_ext.at[batch_idx, scatter_pos].set(
+            jnp.where(valid, row_ids, n)
+        )
+        rows = rows_ext[:, :k]  # (B, k); n marks an empty slot
+        active = rows < n
+        rows_safe = jnp.minimum(rows, n - 1)
+
+        # --- bid: best and second-best benefit per active bidder ---
+        nb = jnp.take_along_axis(neg_d2, rows_safe[:, :, None], axis=1)  # (B, k, M)
+        benefits = nb - price[:, None, :]
+        best = jnp.max(benefits, axis=-1)  # (B, k)
+        j_star = jnp.argmax(benefits, axis=-1).astype(jnp.int32)  # (B, k)
+        onehot = jax.nn.one_hot(j_star, m, dtype=d2.dtype)  # (B, k, M)
+        second = jnp.max(jnp.where(onehot > 0, _NEG, benefits), axis=-1)
+        increment = best - second + eps
+        bid_value = jnp.take_along_axis(price, j_star, axis=1) + increment
+        bid_value = jnp.where(active, bid_value, _NEG)
+
+        # --- items take the best bid (Jacobi): max over the k bidders ---
+        bids = jnp.where(onehot > 0, bid_value[:, :, None], _NEG)  # (B, k, M)
         win_bid = jnp.max(bids, axis=1)  # (B, M)
-        win_row = jnp.argmax(bids, axis=1).astype(jnp.int32)  # (B, M)
+        win_slot = jnp.argmax(bids, axis=1).astype(jnp.int32)  # (B, M) in [0, k)
         has_bid = win_bid > _NEG / 2
-        # evict previous owners of re-auctioned items
-        evicted_rows = jnp.where(has_bid & (owner >= 0), owner, n)  # (B, M), n = dump slot
-        batch_idx = jnp.arange(b)[:, None]
-        assignment_ext = jnp.concatenate([assignment, jnp.full((b, 1), -1, jnp.int32)], axis=1)
+        win_row = jnp.take_along_axis(rows_safe, win_slot, axis=1)  # (B, M)
+
+        # --- evict previous owners of re-auctioned items, assign winners ---
+        evicted_rows = jnp.where(has_bid & (owner >= 0), owner, n)  # n = dump
+        assignment_ext = jnp.concatenate(
+            [assignment, jnp.full((b, 1), -1, jnp.int32)], axis=1
+        )
         assignment_ext = assignment_ext.at[batch_idx, evicted_rows].set(-1)
-        # assign winners
         win_rows_safe = jnp.where(has_bid, win_row, n)
-        item_ids = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (b, m))
         assignment_ext = assignment_ext.at[batch_idx, win_rows_safe].set(
             jnp.where(has_bid, item_ids, -1)
         )
         assignment = assignment_ext[:, :n]
         owner = jnp.where(has_bid, win_row, owner)
         price = jnp.where(has_bid, win_bid, price)
-        return assignment, owner, price
+        return it + 1, assignment, owner, price
 
     init = (
+        jnp.asarray(0, jnp.int32),
         jnp.full((b, n), -1, jnp.int32),
         jnp.full((b, m), -1, jnp.int32),
         jnp.zeros((b, m), x1.dtype),
     )
-    assignment, _owner, _price = jax.lax.fori_loop(0, iters, body, init)
+    _it, assignment, _owner, _price = jax.lax.while_loop(cond, body, init)
     dis = jnp.take_along_axis(d2, jnp.maximum(assignment, 0)[..., None], axis=2)[..., 0]
     dis = jnp.where(assignment >= 0, dis, jnp.min(d2, axis=2))
     return dis, assignment

@@ -34,6 +34,38 @@ class TestAuctionEMD:
         dis, assignment = auction_emd(jnp.asarray(x), jnp.asarray(x), eps=0.0005, iters=800)
         np.testing.assert_allclose(np.asarray(dis).sum(), 0.0, atol=1e-3)
 
+    def test_eval_operating_point(self):
+        """Reference eval contract: eps=0.002, iters cap ~10000 (emd_module.py:25-31).
+
+        The compacted auction must fully converge under the cap and land near
+        the Hungarian optimum. n kept moderate so the CPU test stays fast; the
+        n=2048 point is exercised on-chip via bench.py's auction entry.
+        """
+        x, y = _clouds(b=1, n=512, seed=7)
+        dis, assignment = auction_emd(
+            jnp.asarray(x), jnp.asarray(y), eps=0.002, iters=10000
+        )
+        dis, assignment = np.asarray(dis), np.asarray(assignment)
+        assert (assignment >= 0).all(), 'auction did not converge under cap'
+        assert len(set(assignment[0].tolist())) == x.shape[1]
+        d2 = ((x[0][:, None] - y[0][None]) ** 2).sum(-1)
+        rows, cols = linear_sum_assignment(d2)
+        optimal = d2[rows, cols].sum()
+        assert dis.sum() <= optimal * 1.10 + 1e-4, (dis.sum(), optimal)
+
+    def test_train_operating_point_partial(self):
+        """Train contract (eps=0.005, 50 iters): assignment may be partial;
+        unassigned rows fall back to their nearest-neighbour distance."""
+        x, y = _clouds(b=1, n=256, seed=11)
+        dis, assignment = auction_emd(
+            jnp.asarray(x), jnp.asarray(y), eps=0.005, iters=50
+        )
+        dis, assignment = np.asarray(dis)[0], np.asarray(assignment)[0]
+        d2 = ((x[0][:, None] - y[0][None]) ** 2).sum(-1)
+        for i, j in enumerate(assignment):
+            if j < 0:
+                assert abs(dis[i] - d2[i].min()) < 1e-5
+
     def test_dis_matches_assignment(self):
         x, y = _clouds(b=1, n=32, seed=3)
         dis, assignment = auction_emd(jnp.asarray(x), jnp.asarray(y), eps=0.005, iters=200)
