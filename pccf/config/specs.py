@@ -39,12 +39,18 @@ PositiveFloat = Annotated[float, Field(ge=0)]
 
 
 def get_activation(name: str) -> Callable:
-    """Resolve a torch-style activation name to a jax.nn function."""
+    """Resolve a torch-style activation name to a jax.nn function.
+
+    Returns *shared* callables (``default_act`` for the leaky-ReLU default)
+    so fast-path dispatchers can identity-check the configured activation
+    against the known monotone ones."""
     import jax
 
+    from pccf.nn.layers import default_act
+
     registry: dict[str, Callable] = {
-        '': lambda x: jax.nn.leaky_relu(x, negative_slope=0.2),  # DEFAULT_ACT
-        'LeakyReLU': lambda x: jax.nn.leaky_relu(x, negative_slope=0.2),
+        '': default_act,  # LeakyReLU(0.2), the reference DEFAULT_ACT
+        'LeakyReLU': default_act,
         'ReLU': jax.nn.relu,
         # exact erf form (torch.nn.GELU default; jax defaults to tanh approx)
         'GELU': lambda x: jax.nn.gelu(x, approximate=False),

@@ -51,7 +51,13 @@ class ShapenetFlowSplit(PointCloudDataset):
         synsets = []
         for path in paths:
             unit_cloud, _ = normalise(np.load(path))
-            clouds.append(np.asarray(unit_cloud, dtype=np.float32))
+            cloud = np.asarray(unit_cloud, dtype=np.float32)
+            if clouds and cloud.shape != clouds[0].shape:
+                raise ValueError(
+                    f'ShapeNet cloud {path} has shape {cloud.shape}, expected '
+                    f'{clouds[0].shape} (all clouds in a split must match to stack)'
+                )
+            clouds.append(cloud)
             synsets.append(path.parent.parent.name)
         self.clouds = np.stack(clouds) if clouds else np.zeros((0, 0, 3), np.float32)
         # label = rank of the synset id among those present in this split

@@ -138,11 +138,19 @@ class PCGenDecoder(nn.Module):
         Training keeps the XLA path (batch-stat BN + gradients); init keeps
         it too so the full param tree is materialised."""
         from pccf.kernels.pallas_pcgen import pcgen_fused_supported
+        from pccf.nn.layers import default_act
 
+        # The kernel hard-codes the activation from its slope argument, so the
+        # configured callable must positively match what act_name implies:
+        # ReLU -> jax.nn.relu (slope 0), ''/LeakyReLU -> default_act (0.2).
+        # Any other (act, act_name) pair keeps the XLA path.
+        act_ok = (self.act is jax.nn.relu and self.act_name == 'ReLU') or (
+            self.act is default_act and self.act_name in ('', 'LeakyReLU')
+        )
         return (
             not train
             and not self.is_initializing()
-            and self.act_name in ('', 'LeakyReLU', 'ReLU')
+            and act_ok
             and kapi.use_pallas()
             and pcgen_fused_supported(n_points, self.w_dim, self.conv_dims, self.n_components)
         )

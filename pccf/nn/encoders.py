@@ -63,7 +63,17 @@ class EdgeConvBlock(nn.Module):
         u = jnp.dot(x, w_diff)  # (B, N, F): gathered per neighbour
         s = jnp.dot(x, kernel[c:] - w_diff)  # (B, N, F): per-centre term
 
-        monotone = self.act_name in ('', 'LeakyReLU', 'ReLU') or self.act is None
+        # The streaming path is only valid for monotone-increasing activations
+        # (max commutes with act).  A blank act_name does not identify the
+        # callable, so positively check it against the known monotone ones;
+        # anything else falls through to the materialised (B, N, k, F) path.
+        from pccf.nn.layers import default_act
+
+        monotone = (
+            self.act is None
+            or self.act_name in ('LeakyReLU', 'ReLU')
+            or self.act in (default_act, jax.nn.relu, jax.nn.leaky_relu)
+        )
         if monotone:
             # Streaming path, train AND eval: BN is a per-channel affine, the
             # per-centre shift is constant over the k neighbours, and max
