@@ -75,7 +75,13 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
     0 is emitted directly — only k-1 extractions run.  (On exactly duplicated
     points the golden ``top_k`` may order the duplicate before self; the
     neighbour *set* is identical for k >= 2 since both duplicates qualify.
-    k == 1 therefore skips the shortcut and extracts normally.)"""
+    k == 1 therefore skips the shortcut and extracts normally.)
+
+    Two-tile interleave: one extraction chain is serial (min -> hit ->
+    promote -> next min), which leaves the VPU latency-bound.  When the tile
+    count is even, each loop body runs TWO independent centre tiles with
+    their extraction steps interleaved, so the scheduler can overlap the two
+    chains."""
     x = x_ref[...]  # (N, C)
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (N, 1)
     n_tiles = n // _TILE
@@ -90,8 +96,11 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
     # which on exact duplicates need not be self — run a plain extraction
     # (self stays a candidate) so the neighbour matches the golden exactly.
     self_shortcut = k > 1
+    n_extract = k - 1 if self_shortcut else k
 
-    def tile_body(t, _):
+    def make_chain(t):
+        """Distance tile + octo-sort for centre tile ``t``; returns the
+        sorted stacks and the slot-0 output list."""
         xt = x_ref[pl.ds(t * _TILE, _TILE), :]  # (T, C) centres
         xt_sq = jnp.sum(xt * xt, axis=-1)[None, :]  # (1, T)
         cross = _cross_bf16x3(x, xt)  # (N, T): candidate-major
@@ -108,17 +117,34 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
         for a, b in net8:
             q[a], q[b] = jnp.minimum(q[a], q[b]), jnp.maximum(q[a], q[b])
         outs = [centres[:1, :]] if self_shortcut else []  # slot 0: self
-        for _j in range(k - 1 if self_shortcut else k):
-            m = jnp.min(q[0], axis=0, keepdims=True)  # (1, T)
-            outs.append(m & mask)
-            hit = q[0] == m
-            for i in range(7):
-                q[i] = jnp.where(hit, q[i + 1], q[i])
-            q[7] = jnp.where(hit, int_max, q[7])
-        idx_ref[:, pl.ds(t * _TILE, _TILE)] = jnp.concatenate(outs, axis=0)  # (k, T)
+        return q, outs
+
+    def extract_step(q, outs):
+        m = jnp.min(q[0], axis=0, keepdims=True)  # (1, T)
+        outs.append(m & mask)
+        hit = q[0] == m
+        for i in range(7):
+            q[i] = jnp.where(hit, q[i + 1], q[i])
+        q[7] = jnp.where(hit, int_max, q[7])
+
+    import os
+
+    pairs = n_tiles % 2 == 0 and not os.environ.get('PCCF_KNN_NO_PAIR')
+
+    def tile_body(t, _):
+        if pairs:
+            chains = [make_chain(2 * t), make_chain(2 * t + 1)]
+        else:
+            chains = [make_chain(t)]
+        for _j in range(n_extract):
+            for q, outs in chains:
+                extract_step(q, outs)
+        for half, (_q, outs) in enumerate(chains):
+            tt = (2 * t + half) if pairs else t
+            idx_ref[:, pl.ds(tt * _TILE, _TILE)] = jnp.concatenate(outs, axis=0)  # (k, T)
         return _
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, None)
+    jax.lax.fori_loop(0, n_tiles // 2 if pairs else n_tiles, tile_body, None)
 
 
 @functools.partial(jax.jit, static_argnames=('k',))
