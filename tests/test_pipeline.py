@@ -106,3 +106,61 @@ def test_full_pipeline(cfg, experiment):
         clouds = generate_random_samples(cfg)
         assert clouds.shape == (2, 64, 3)
         assert np.isfinite(clouds).all()
+
+
+def test_emd_finetune_resumes_merged_checkpoint(cfg):
+    """BASELINE config 4: resume the stage-2 merged checkpoint and continue
+    stage-1-style training with the ChamferEMD composite.
+
+    The fine-tune must (a) train the outer autoencoder, (b) leave the trained
+    inner CVAE bit-identical (frozen mask keeps AdamW decay off it), and
+    (c) produce a finite Chamfer on the final test."""
+    import jax
+
+    from train_autoencoder import train_autoencoder
+    from pccf.data import Inputs
+    from pccf.models import get_autoencoder
+    from pccf.train import Model
+
+    ft_overrides = [
+        'autoencoder.objective.recon_loss=ChamferEMD',
+        'autoencoder.train.n_epochs=8',
+        'user.load_checkpoint=-1',
+        # decisive decay: an unmasked optimizer would visibly shrink the
+        # frozen inner CVAE within a couple of epochs
+        'autoencoder.train.learn.opt_settings.weight_decay=0.5',
+    ]
+    Singleton.reset_all()
+    cfg_ft = get_config_all(TINY + ft_overrides)
+
+    def snapshot():
+        model = Model(get_autoencoder(cfg_ft), name=cfg_ft.autoencoder.model.name, seed=0)
+        model.initialize(
+            Inputs(cloud=np.zeros((1, cfg_ft.data.n_input_points, 3), np.float32)),
+            np.zeros((1, cfg_ft.data.dataset.n_classes), np.float32),
+            method='full_init',
+        )
+        model.load_state(-1)
+        return jax.device_get(model.params), model.epoch
+
+    exp = Experiment(cfg_ft, name='pipeline-test')
+    with exp.create_run(resume=True):
+        before, epoch_before = snapshot()
+        chamfer = train_autoencoder()
+        assert chamfer is not None and np.isfinite(chamfer)
+        after, epoch_after = snapshot()
+
+    assert epoch_after > epoch_before, 'fine-tune did not advance training'
+    for a, b in zip(
+        jax.tree.leaves(before['w_autoencoder']),
+        jax.tree.leaves(after['w_autoencoder']),
+        strict=True,
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    enc_changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(before['encoder']), jax.tree.leaves(after['encoder']), strict=True
+        )
+    )
+    assert enc_changed, 'fine-tune left the outer autoencoder untouched'
