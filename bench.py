@@ -154,11 +154,22 @@ def bench_counterfactual(batch=16, n=2048):
     dt = _marginal_scan_time(
         step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), k_short=1, k_long=9
     )
-    return {
+    out = {
         'counterfactual_samples_per_s': batch / dt,
         'counterfactual_batch_ms': dt * 1e3,
         'counterfactual_vs_baseline': batch / dt / A100_EST_CF_SAMPLES_PER_S,
     }
+    # throughput-oriented serving point: larger batch amortises the per-call
+    # issue-bound kernel portions (the reference serves at batch 16; this is
+    # an extra, not the parity number)
+    big = 64
+    cloud_b = rng.standard_normal((big, n, 3)).astype(np.float32) / 2
+    logits_b = rng.standard_normal((big, 2)).astype(np.float32)
+    dt_b = _marginal_scan_time(
+        step, (jax.numpy.asarray(cloud_b), jax.numpy.asarray(logits_b)), k_short=1, k_long=5
+    )
+    out['counterfactual_b64_samples_per_s'] = big / dt_b
+    return out
 
 
 def bench_train_step(batch=8, n=2048, iters=8):

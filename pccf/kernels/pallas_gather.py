@@ -36,8 +36,12 @@ def gather_pool_supported(n: int, c: int) -> bool:
     return n % _TILE_N == 0 and n * c * 4 * 3 <= _VMEM_BUDGET
 
 
-_UNROLL = 4  # independent rows per loop step: overlaps the dynamic-row loads
-# (the per-row max chain is latency-bound; 4-way row ILP measured ~1.5-2x)
+import os
+
+# independent rows per loop step: overlaps the dynamic-row loads (the
+# per-row max chain is latency-bound; 4-way row ILP measured ~1.5-2x).
+# PCCF_POOL_UNROLL overrides for on-chip A/B (must divide _TILE_N).
+_UNROLL = int(os.environ.get('PCCF_POOL_UNROLL', '4'))
 
 
 def _pool_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int):
