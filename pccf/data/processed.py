@@ -38,6 +38,8 @@ class ProcessedDataset:
     """Base: chunked device passes over a backing dataset (processed.py:25-61)."""
 
     max_batch: int = 64
+    # item assembly runs jitted device passes — must stay in the main process
+    supports_workers: bool = False
 
     def __init__(self, dataset: Any, autoencoder: Model) -> None:
         self.dataset = dataset

@@ -40,6 +40,10 @@ class PointCloudDataset(abc.ABC):
     switch (modelnet.py:42)."""
 
     inference: bool = False
+    # raw splits are numpy-only in the item path, so DataLoader may farm
+    # batch assembly out to worker processes; device-backed datasets
+    # (pccf.data.processed) override this to stay in-process
+    supports_workers: bool = True
 
     def set_inference(self, inference: bool) -> None:
         self.inference = inference

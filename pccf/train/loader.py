@@ -16,6 +16,33 @@ import numpy as np
 from pccf.data.structures import Inputs, Targets
 
 
+# ---------------------------------------------------------------- workers
+# One dataset copy lives in each worker process (shipped once through the
+# pool initializer); tasks carry only index lists.  Workers never touch the
+# accelerator: only datasets whose item path is pure numpy opt in via
+# ``supports_workers`` (pccf.data.protocols.PointCloudDataset).
+_WORKER_DATASET: Any = None
+
+
+def _worker_init(dataset: Any) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(task: tuple[list[int], bool, tuple[int, ...]]) -> tuple[Any, Any]:
+    idx_list, inference, rng_key = task
+    ds = _WORKER_DATASET
+    if hasattr(ds, 'rng'):
+        # deterministic per (seed, epoch, batch) regardless of which worker
+        # runs the task (and of n_workers), like a per-sample torch generator
+        ds.rng = np.random.default_rng(rng_key)
+    if hasattr(ds, 'set_inference'):
+        ds.set_inference(inference)
+    getitems = getattr(ds, '__getitems__', None)
+    items = getitems(idx_list) if getitems is not None else [ds[i] for i in idx_list]
+    return _stack([it[0] for it in items]), _stack([it[1] for it in items])
+
+
 def _stack(items: list[Any]) -> Any:
     """Stack a list of same-type (named)tuples / arrays / Nones leaf-wise."""
     first = items[0]
@@ -34,8 +61,11 @@ class DataLoader:
     Args:
         dataset: sized dataset returning ``(Inputs, Targets)``-like tuples.
         batch_size: per-host batch size (the global batch under pjit).
-        n_workers: accepted for API parity; loading is in-process (the
-            reference default is likewise 0, user_settings.yaml:7).
+        n_workers: batch-assembly worker *processes* (reference
+            train_autoencoder.py:34-39; default 0 = in-process with thread
+            prefetch, user_settings.yaml:7).  Only datasets with a pure-numpy
+            item path use workers (``supports_workers``); device-backed
+            derived datasets always assemble in the main process.
         drop_last: drop the trailing partial batch (defaults True for
             training iterators to keep jit shapes static).
     """
@@ -48,10 +78,37 @@ class DataLoader:
         pin_memory: bool = False,
         seed: int = 0,
     ) -> None:
-        del n_workers, pin_memory
+        del pin_memory
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
+        self.n_workers = n_workers if getattr(dataset, 'supports_workers', False) else 0
+        self._pool = None
+
+    def _executor(self):
+        if self._pool is None:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            # spawn: no fork of a process that may hold an accelerator client
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.n_workers,
+                mp_context=multiprocessing.get_context('spawn'),
+                initializer=_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         return max(1, len(self.dataset) // self.batch_size)
@@ -90,6 +147,14 @@ class DataLoader:
             list(map(int, order[b * self.batch_size : (b + 1) * self.batch_size]))
             for b in range(n // self.batch_size)
         ]
+        if self.n_workers > 0:
+            tasks = [
+                (idx, False, (self.seed, epoch, bi)) for bi, idx in enumerate(batches)
+            ]
+            # map() submits everything and yields in order: workers run
+            # ``prefetch``-deep ahead while the consumer steps the device
+            yield from self._executor().map(_worker_fetch, tasks)
+            return
         if prefetch <= 0 or len(batches) <= 1:
             for idx in batches:
                 yield self._fetch(idx, inference=False)
