@@ -72,3 +72,6 @@ class Schedulers(StrEnum):
 class ReconLosses(StrEnum):
     Chamfer = 'Chamfer'
     ChamferEMD = 'ChamferEMD'
+    # Extension beyond the reference registry (options.py:86-88): entropic-OT
+    # surrogate for the EMD term, cheaper/tunable vs ApproxMatch.
+    ChamferSinkhorn = 'ChamferSinkhorn'

@@ -43,15 +43,28 @@ def get_emd_loss() -> Objective:
     return Loss(_emd, 'EMD')
 
 
+def get_sinkhorn_loss() -> Objective:
+    """Sinkhorn EMD surrogate (opt-in; no reference counterpart)."""
+
+    def _sinkhorn(data: Outputs, targets: Targets) -> Array:
+        return kapi.sinkhorn_cost(data.recon, targets.ref_cloud)
+
+    return Loss(_sinkhorn, 'EMD')
+
+
 def get_recon_loss(cfg) -> Objective:
     """Chamfer or Chamfer+EMD per config (metrics_and_losses.py:70-79).
 
     The reference adds EMD only on the accelerated path; here the cpu flag
-    plays that role (the Pallas EMD kernel is the accelerated path)."""
+    plays that role (the Pallas EMD kernel is the accelerated path).
+    ``ChamferSinkhorn`` swaps the ApproxMatch term for the entropic-OT
+    surrogate (same name so monitors/metrics stay comparable)."""
     recon = cfg.autoencoder.objective.recon_loss
     chamfer = get_chamfer_loss()
     if recon == ReconLosses.ChamferEMD and not cfg.user.cpu:
         return chamfer + get_emd_loss()
+    if recon == ReconLosses.ChamferSinkhorn and not cfg.user.cpu:
+        return chamfer + get_sinkhorn_loss()
     return chamfer
 
 
