@@ -46,14 +46,14 @@ def get_activation(name: str) -> Callable:
     against the known monotone ones."""
     import jax
 
-    from pccf.nn.layers import default_act
+    from pccf.nn.layers import default_act, gelu_exact
 
     registry: dict[str, Callable] = {
         '': default_act,  # LeakyReLU(0.2), the reference DEFAULT_ACT
         'LeakyReLU': default_act,
         'ReLU': jax.nn.relu,
         # exact erf form (torch.nn.GELU default; jax defaults to tanh approx)
-        'GELU': lambda x: jax.nn.gelu(x, approximate=False),
+        'GELU': gelu_exact,
         'Hardtanh': jax.nn.hard_tanh,
         'Tanh': jax.nn.tanh,
         'SiLU': jax.nn.silu,

@@ -28,6 +28,12 @@ def default_act(x: Array) -> Array:
     return jax.nn.leaky_relu(x, negative_slope=0.2)
 
 
+def gelu_exact(x: Array) -> Array:
+    """Exact-erf GELU (torch.nn.GELU default) — shared callable so fused
+    fast paths can identity-check the configured activation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 def get_kernel_init(act_name: str, soft_init: bool = False) -> nn.initializers.Initializer:
     """Activation-dependent kernel init (reference layers.py:130-149)."""
     if soft_init:

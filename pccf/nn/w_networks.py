@@ -12,9 +12,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pccf.kernels import api as kapi
 from pccf.nn.layers import DenseBlock, TransformerDecoderLayer, TransformerEncoderLayer
 
 Array = jax.Array
+
+
+def _fused_stack_ok(module, train: bool) -> bool:
+    """Dispatch the fused Pallas transformer-stack kernel (eval only).
+
+    Init keeps the XLA path so the full param tree is materialised; the
+    activation must be the shared exact-GELU callable the kernel hard-codes
+    (anything else keeps the XLA path)."""
+    from pccf.kernels.pallas_wformer import wformer_supported
+    from pccf.nn.layers import gelu_exact
+
+    return (
+        not train
+        and not module.is_initializing()
+        and module.act is gelu_exact
+        and kapi.use_pallas()
+        and wformer_supported(
+            module.n_codes,
+            module.proj_dim,
+            max(module.mlp_dims),
+            len(module.mlp_dims),
+            module.n_heads,
+        )
+    )
 
 
 class ConvolutionalWEncoder(nn.Module):
@@ -48,11 +73,20 @@ class TransformerWEncoder(nn.Module):
         x = DenseBlock(self.proj_dim, act=None, batch_norm=False, name='input_proj')(x, train)
         pos = self.param('positional_encoding', nn.initializers.normal(1.0), (1, self.n_codes, self.proj_dim))
         x = x + pos
-        rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
-        for i, d_ff in enumerate(self.mlp_dims):
-            x = TransformerEncoderLayer(
-                self.proj_dim, self.n_heads, d_ff, rates[i], self.act, name=f'layer_{i}'
-            )(x, train)
+        if _fused_stack_ok(self, train):
+            from pccf.kernels.pallas_wformer import pack_encoder_params, wformer_encoder_tpu
+
+            p = self.variables['params']
+            packed = pack_encoder_params(
+                [p[f'layer_{i}'] for i in range(len(self.mlp_dims))], max(self.mlp_dims)
+            )
+            x = wformer_encoder_tpu(x, packed, n_heads=self.n_heads)
+        else:
+            rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
+            for i, d_ff in enumerate(self.mlp_dims):
+                x = TransformerEncoderLayer(
+                    self.proj_dim, self.n_heads, d_ff, rates[i], self.act, name=f'layer_{i}'
+                )(x, train)
         return DenseBlock(2 * self.z1_dim, act=None, batch_norm=False, soft_init=True, name='to_latent')(
             x, train
         )
@@ -113,11 +147,20 @@ class TransformerWDecoder(nn.Module):
         )
         memory = jnp.broadcast_to(z1p, (batch, self.n_codes, self.proj_dim)) + mem_pos
         x = jnp.broadcast_to(z2p, (batch, self.n_codes, self.proj_dim)) + pos
-        rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
-        for i, d_ff in enumerate(self.mlp_dims):
-            x = TransformerDecoderLayer(
-                self.proj_dim, self.n_heads, d_ff, rates[i], self.act, name=f'layer_{i}'
-            )(x, memory, train)
+        if _fused_stack_ok(self, train):
+            from pccf.kernels.pallas_wformer import pack_decoder_params, wformer_decoder_tpu
+
+            p = self.variables['params']
+            packed = pack_decoder_params(
+                [p[f'layer_{i}'] for i in range(len(self.mlp_dims))], max(self.mlp_dims)
+            )
+            x = wformer_decoder_tpu(x, memory, packed, n_heads=self.n_heads)
+        else:
+            rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
+            for i, d_ff in enumerate(self.mlp_dims):
+                x = TransformerDecoderLayer(
+                    self.proj_dim, self.n_heads, d_ff, rates[i], self.act, name=f'layer_{i}'
+                )(x, memory, train)
         x = DenseBlock(self.embedding_dim, act=None, batch_norm=False, name='compress')(x, train)
         return x.reshape(batch, self.n_codes * self.embedding_dim)
 
@@ -156,11 +199,20 @@ class TransformerWConditionalEncoder(nn.Module):
         pos = self.param('positional_encoding', nn.initializers.normal(1.0), (1, self.n_codes, self.proj_dim))
         probs_emb = DenseBlock(self.proj_dim, act=None, batch_norm=False, name='prob_proj')(probs, train)
         x = pos + x + probs_emb[:, None, :]
-        rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
-        for i, d_ff in enumerate(self.mlp_dims):
-            x = TransformerEncoderLayer(
-                self.proj_dim, self.n_heads, d_ff, rates[i], self.act, name=f'layer_{i}'
-            )(x, train)
+        if _fused_stack_ok(self, train):
+            from pccf.kernels.pallas_wformer import pack_encoder_params, wformer_encoder_tpu
+
+            p = self.variables['params']
+            packed = pack_encoder_params(
+                [p[f'layer_{i}'] for i in range(len(self.mlp_dims))], max(self.mlp_dims)
+            )
+            x = wformer_encoder_tpu(x, packed, n_heads=self.n_heads)
+        else:
+            rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
+            for i, d_ff in enumerate(self.mlp_dims):
+                x = TransformerEncoderLayer(
+                    self.proj_dim, self.n_heads, d_ff, rates[i], self.act, name=f'layer_{i}'
+                )(x, train)
         return DenseBlock(2 * self.z2_dim, act=None, batch_norm=False, soft_init=True, name='to_latent')(
             x, train
         )

@@ -220,3 +220,71 @@ class TestModelForwardParity:
         recon_jnp = forward()
         assert recon_pallas.shape == (2, 256, 3)
         np.testing.assert_allclose(recon_pallas, recon_jnp, atol=2e-4)
+
+
+@requires_tpu
+class TestSinkhornOnChip:
+    def test_cost_and_grads_match_golden(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_sinkhorn import sinkhorn_cost_tpu
+
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.random((2, 512, 3)).astype(np.float32))
+        y = jnp.asarray(rng.random((2, 512, 3)).astype(np.float32))
+        got = np.asarray(sinkhorn_cost_tpu(x, y))
+        want = np.asarray(ops.sinkhorn_cost(x, y))
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+        gt = jax.grad(lambda a, b: jnp.sum(sinkhorn_cost_tpu(a, b)), argnums=(0, 1))(x, y)
+        gr = jax.grad(lambda a, b: jnp.sum(ops.sinkhorn_cost(a, b)), argnums=(0, 1))(x, y)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
+
+
+@requires_tpu
+class TestWFormerOnChip:
+    """Fused transformer stacks vs the XLA layer path at flagship dims."""
+
+    def test_encoder_stack(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.nn.layers import gelu_exact
+        from pccf.nn.w_networks import TransformerWEncoder
+
+        enc = TransformerWEncoder(
+            z1_dim=16, n_codes=256, proj_dim=512, n_heads=8,
+            mlp_dims=(1024, 1024), dropout_rates=(0.0, 0.0), act=gelu_exact,
+        )
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((4, 256, 4)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x, train=False)
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'pallas')
+        fused = np.asarray(enc.apply(variables, x, train=False))
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        slow = np.asarray(enc.apply(variables, x, train=False))
+        np.testing.assert_allclose(fused, slow, atol=2e-2)
+
+    def test_decoder_stack(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.nn.layers import gelu_exact
+        from pccf.nn.w_networks import TransformerWDecoder
+
+        dec = TransformerWDecoder(
+            embedding_dim=4, n_codes=256, z1_dim=16, z2_dim=16, proj_dim=512,
+            n_heads=8, mlp_dims=(1024, 1024, 1024, 512),
+            dropout_rates=(0.1,) * 5, act=gelu_exact,
+        )
+        rng = np.random.default_rng(12)
+        z1 = jnp.asarray(rng.standard_normal((4, 256, 16)).astype(np.float32))
+        z2 = jnp.asarray(rng.standard_normal((4, 256, 16)).astype(np.float32))
+        variables = dec.init(jax.random.key(0), z1, z2, train=False)
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'pallas')
+        fused = np.asarray(dec.apply(variables, z1, z2, train=False))
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        slow = np.asarray(dec.apply(variables, z1, z2, train=False))
+        np.testing.assert_allclose(fused, slow, atol=2e-2)
