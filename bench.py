@@ -82,6 +82,9 @@ def bench_loss_kernels(batch=8, n=2048):
         ('chamfer_emd', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.match_cost(a, b))),
         ('chamfer', lambda a, b: jnp.sum(kapi.chamfer(a, b))),
         ('emd', lambda a, b: jnp.sum(kapi.match_cost(a, b))),
+        # opt-in entropic-OT surrogate (ChamferSinkhorn objective) — extra,
+        # not the parity metric
+        ('chamfer_sinkhorn', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.sinkhorn_cost(a, b))),
     ]:
         dt = _marginal_scan_time(make_step(loss), (x, y))
         results[f'{name}_pairs_per_s'] = batch / dt

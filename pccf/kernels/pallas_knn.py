@@ -129,22 +129,25 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
 
     import os
 
-    pairs = n_tiles % 2 == 0 and not os.environ.get('PCCF_KNN_NO_PAIR')
+    # Interleave depth: how many independent centre-tile extraction chains
+    # run per loop step (the serial min->hit->promote chain is latency-bound;
+    # interleaving lets the VPU overlap them).  PCCF_KNN_GROUP overrides for
+    # on-chip A/B; PCCF_KNN_NO_PAIR forces 1 (legacy knob).
+    group = 1 if os.environ.get('PCCF_KNN_NO_PAIR') else int(os.environ.get('PCCF_KNN_GROUP', '2'))
+    while n_tiles % group:
+        group //= 2
 
     def tile_body(t, _):
-        if pairs:
-            chains = [make_chain(2 * t), make_chain(2 * t + 1)]
-        else:
-            chains = [make_chain(t)]
+        chains = [make_chain(group * t + j) for j in range(group)]
         for _j in range(n_extract):
             for q, outs in chains:
                 extract_step(q, outs)
-        for half, (_q, outs) in enumerate(chains):
-            tt = (2 * t + half) if pairs else t
+        for j, (_q, outs) in enumerate(chains):
+            tt = group * t + j
             idx_ref[:, pl.ds(tt * _TILE, _TILE)] = jnp.concatenate(outs, axis=0)  # (k, T)
         return _
 
-    jax.lax.fori_loop(0, n_tiles // 2 if pairs else n_tiles, tile_body, None)
+    jax.lax.fori_loop(0, n_tiles // group, tile_body, None)
 
 
 @functools.partial(jax.jit, static_argnames=('k',))
