@@ -1,5 +1,6 @@
 """Distributed execution: device mesh + data-parallel sharding."""
 
+from pccf.dist.sp import sp_chamfer, sp_knn, sp_match_cost
 from pccf.dist.mesh import (
     get_mesh,
     host_batch_to_global,
@@ -16,4 +17,7 @@ __all__ = [
     'is_main_process',
     'replicate',
     'shard_batch',
+    'sp_chamfer',
+    'sp_knn',
+    'sp_match_cost',
 ]
