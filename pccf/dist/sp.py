@@ -71,13 +71,16 @@ def sp_chamfer(
         out_specs=P(batch_axis),
     )
     def f(xl: Array, yl: Array) -> Array:
+        from pccf.kernels import api as kapi
+
         yg = jax.lax.all_gather(yl, axis, axis=1, tiled=True)  # (B, M, C)
-        d = ops.square_distance(xl, yg)  # (B, n_loc, M)
-        dist1 = jnp.min(d, axis=2)  # (B, n_loc): complete (all of y present)
-        fwd = jax.lax.psum(jnp.sum(dist1, axis=1), axis)
-        # each device has partial minima over its x rows for ALL of y; the
+        # within-shard compute dispatches the fused Pallas NN kernel on TPU
+        # (VMEM distance scan — the (n_loc, M) slab never hits HBM)
+        dist1, _, part2, _ = kapi.nn_distance(xl, yg)
+        # dist1 (B, n_loc) is complete (all of y present); part2 (B, M) holds
+        # this shard's partial minima over its x rows for ALL of y — the
         # global min lands back on the shard that owns those y rows
-        part2 = jnp.min(d, axis=1)  # (B, M)
+        fwd = jax.lax.psum(jnp.sum(dist1, axis=1), axis)
         parts = jax.lax.all_gather(part2, axis, axis=0, tiled=False)  # (sp, B, M)
         row = jax.lax.axis_index(axis) * m_loc
         dist2 = jnp.min(jax.lax.dynamic_slice_in_dim(parts, row, m_loc, axis=2), axis=0)
