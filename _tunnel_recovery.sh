@@ -32,7 +32,8 @@ for p in $phases; do
       done
       for u in 4 8; do
         run pool_u$u 600 env PCCF_POOL_UNROLL=$u python _knn_pool_probe.py
-      done ;;
+      done
+      run knn_bf16 600 env PCCF_KNN_MXU=bf16 python _knn_pool_probe.py ;;
     emd_ab)
       run emd_ab 900 python _emd_probe.py bench ;;
     flagship)

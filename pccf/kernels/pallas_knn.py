@@ -37,8 +37,17 @@ _BIG = 1e30
 
 def _cross_bf16x3(a: Array, b: Array) -> Array:
     """a @ b^T at ~f32 accuracy via three bf16 MXU passes (Mosaic has no
-    HIGH-precision lowering; full HIGHEST emulation costs twice as much)."""
+    HIGH-precision lowering; full HIGHEST emulation costs twice as much).
+
+    ``PCCF_KNN_MXU=bf16`` opts into a single bf16 pass (~1e-2 relative
+    error): neighbour selection may flip on near-ties, so it is an
+    explicitly-requested speed mode, never the default."""
+    import os
+
     dims = (((1,), (1,)), ((), ()))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims, preferred_element_type=jnp.float32)
+    if os.environ.get('PCCF_KNN_MXU') == 'bf16':
+        return dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
 
     def split(v):
         hi = v.astype(jnp.bfloat16)
@@ -47,7 +56,6 @@ def _cross_bf16x3(a: Array, b: Array) -> Array:
 
     a_hi, a_lo = split(a)
     b_hi, b_lo = split(b)
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims, preferred_element_type=jnp.float32)
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
