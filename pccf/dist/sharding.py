@@ -46,6 +46,41 @@ def shard_params_tp(params: Any, mesh: Mesh, axis: str = 'mp', min_size: int = 2
     return jax.tree_util.tree_map_with_path(put, params)
 
 
+def ep_spec(path: tuple, value: Any, mesh: Mesh, axis: str, n_components: int) -> P:
+    """PartitionSpec for expert-parallel PCGen components.
+
+    The decoder's vmapped component stacks (``components`` /
+    ``component_heads``, see pccf/nn/decoders.py) carry the component axis
+    first; sharding it over ``axis`` runs each device's experts locally —
+    GSPMD inserts the all-gather for the attention concat and the psum for
+    the mixture contraction.  Everything else stays replicated.
+    """
+    ep = mesh.shape[axis]
+    shape = getattr(value, 'shape', ())
+    names = {str(getattr(p, 'key', p)) for p in path}
+    if (
+        ('components' in names or 'component_heads' in names)
+        and len(shape) >= 1
+        and shape[0] == n_components
+        and n_components % ep == 0
+    ):
+        return P(axis, *([None] * (len(shape) - 1)))
+    return P()
+
+
+def shard_variables_ep(variables: Any, mesh: Mesh, n_components: int, axis: str = 'mp') -> Any:
+    """Device-put a decoder variable tree (params + batch_stats) with the
+    component axis sharded over ``axis`` (expert parallelism)."""
+
+    def put(path, value):
+        spec = ep_spec(
+            tuple(p.key if hasattr(p, 'key') else p for p in path), value, mesh, axis, n_components
+        )
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, variables)
+
+
 def make_2d_mesh(n_devices: int, mp: int = 2) -> Mesh:
     """(dp, mp) mesh over the first ``n_devices`` devices."""
     devices = np.asarray(jax.devices()[:n_devices])
