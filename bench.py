@@ -86,7 +86,16 @@ def bench_loss_kernels(batch=8, n=2048):
         # not the parity metric
         ('chamfer_sinkhorn', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.sinkhorn_cost(a, b))),
     ]:
-        dt = _marginal_scan_time(make_step(loss), (x, y))
+        try:
+            dt = _marginal_scan_time(make_step(loss), (x, y))
+        except Exception as e:
+            # an extra (non-headline) kernel failing — e.g. the opt-in
+            # Sinkhorn entry hitting a Mosaic lowering issue — must not take
+            # down the chamfer_emd headline metric
+            if name == 'chamfer_emd':
+                raise
+            results[f'{name}_error'] = str(e)[:200]
+            continue
         results[f'{name}_pairs_per_s'] = batch / dt
         results[f'{name}_ms_per_batch'] = dt * 1e3
     return results
@@ -248,7 +257,17 @@ def main() -> None:
         }))
         raise SystemExit(1)
 
-    results = bench_loss_kernels()
+    try:
+        results = bench_loss_kernels()
+    except Exception as e:
+        print(json.dumps({
+            'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
+            'value': 0.0,
+            'unit': 'pairs/s',
+            'vs_baseline': 0.0,
+            'error': f'loss-kernel bench failed: {str(e)[:200]}',
+        }))
+        raise SystemExit(1)
     try:
         results.update(bench_counterfactual())
     except Exception as e:  # keep the headline metric even if the model bench fails

@@ -40,8 +40,12 @@ import os
 
 # independent rows per loop step: overlaps the dynamic-row loads (the
 # per-row max chain is latency-bound; 4-way row ILP measured ~1.5-2x).
-# PCCF_POOL_UNROLL overrides for on-chip A/B (must divide _TILE_N).
-_UNROLL = int(os.environ.get('PCCF_POOL_UNROLL', '4'))
+# PCCF_POOL_UNROLL overrides for on-chip A/B; clamped to the nearest
+# power-of-two divisor of _TILE_N (a non-divisor unroll would leave tail
+# rows of each output tile unwritten).
+_UNROLL = max(1, int(os.environ.get('PCCF_POOL_UNROLL', '4')))
+while _TILE_N % _UNROLL:
+    _UNROLL //= 2
 
 
 def _pool_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int):

@@ -142,6 +142,7 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
     # interleaving lets the VPU overlap them).  PCCF_KNN_GROUP overrides for
     # on-chip A/B; PCCF_KNN_NO_PAIR forces 1 (legacy knob).
     group = 1 if os.environ.get('PCCF_KNN_NO_PAIR') else int(os.environ.get('PCCF_KNN_GROUP', '2'))
+    group = max(1, group)  # guard: group=0 would loop n_tiles % 0 below
     while n_tiles % group:
         group //= 2
 

@@ -42,7 +42,9 @@ def wformer_supported(t: int, d: int, d_ff_max: int, n_layers: int, n_heads: int
     """True when the stack fits the kernel's tiling and VMEM budget."""
     if t % 128 or d % 128 or d % n_heads:
         return False
-    weights = n_layers * (6 * d * d + 2 * d * d_ff_max) * 2  # bf16, decoder worst case
+    # bf16 weights, decoder worst case: self-attention (4 d^2) + cross
+    # attention (4 d^2) + FFN (2 d d_ff) per layer.
+    weights = n_layers * (8 * d * d + 2 * d * d_ff_max) * 2
     work = t * d * 4 * 6 + t * t * 4 + t * d_ff_max * 4
     return weights + work <= _VMEM_BUDGET
 

@@ -89,14 +89,19 @@ def resolve_monitored_value(metric: Objective, row: dict[str, float]) -> tuple[s
     Composite criteria (e.g. ``Chamfer + EMD`` from ``get_recon_loss``) carry
     the generic name ``'Loss'``, which collides with the *training* loss key
     (embed term and all) in the log — monitoring that key would track a
-    different signal than the reference's recon criterion.  For those, sum the
-    composite's component calculations from the row instead.
+    different signal than the reference's recon criterion.  For those,
+    re-evaluate the composite's *loss expression* over the row's logged
+    component means: this keeps scale weights, keeps multiplicative factors
+    multiplicative (annealing is constant within an epoch, so the product of
+    means is exact), and excludes ``|``-attached metrics-only calculations.
     """
     if metric.name != 'Loss' and metric.name in row:
         return metric.name, row[metric.name]
-    components = [name for name in metric.calculations if name in row]
-    if components and len(components) == len(metric.calculations):
-        return '+'.join(components), float(sum(row[name] for name in components))
+    expr = metric.loss_expr
+    if expr is not None:
+        names = list(dict.fromkeys(expr.leaf_names()))
+        if names and all(name in row for name in names):
+            return '+'.join(names), float(expr.evaluate(row))
     return metric.name, row.get(metric.name)
 
 

@@ -148,12 +148,22 @@ class DataLoader:
             for b in range(n // self.batch_size)
         ]
         if self.n_workers > 0:
-            tasks = [
-                (idx, False, (self.seed, epoch, bi)) for bi, idx in enumerate(batches)
-            ]
-            # map() submits everything and yields in order: workers run
-            # ``prefetch``-deep ahead while the consumer steps the device
-            yield from self._executor().map(_worker_fetch, tasks)
+            # Bounded sliding window of in-flight futures: workers run at most
+            # ``prefetch + n_workers`` batches ahead of the consumer, so an
+            # epoch's worth of assembled batches never buffers in the parent.
+            from collections import deque
+
+            pool = self._executor()
+            depth = max(prefetch, 1) + self.n_workers
+            pending: deque = deque()
+            for bi, idx in enumerate(batches):
+                pending.append(
+                    pool.submit(_worker_fetch, (idx, False, (self.seed, epoch, bi)))
+                )
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
             return
         if prefetch <= 0 or len(batches) <= 1:
             for idx in batches:

@@ -146,6 +146,9 @@ class _Expr:
     def evaluate(self, values: dict[str, Array]) -> Array:  # pragma: no cover
         raise NotImplementedError
 
+    def leaf_names(self) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
 
 class _Leaf(_Expr):
     def __init__(self, name: str):
@@ -153,6 +156,9 @@ class _Leaf(_Expr):
 
     def evaluate(self, values):
         return values[self.name]
+
+    def leaf_names(self):
+        return [self.name]
 
 
 class _Add(_Expr):
@@ -162,6 +168,9 @@ class _Add(_Expr):
     def evaluate(self, values):
         return self.a.evaluate(values) + self.b.evaluate(values)
 
+    def leaf_names(self):
+        return self.a.leaf_names() + self.b.leaf_names()
+
 
 class _Mul(_Expr):
     def __init__(self, a: _Expr, b: _Expr):
@@ -170,6 +179,9 @@ class _Mul(_Expr):
     def evaluate(self, values):
         return self.a.evaluate(values) * self.b.evaluate(values)
 
+    def leaf_names(self):
+        return self.a.leaf_names() + self.b.leaf_names()
+
 
 class _Scale(_Expr):
     def __init__(self, a: _Expr, s: float):
@@ -177,3 +189,6 @@ class _Scale(_Expr):
 
     def evaluate(self, values):
         return self.s * self.a.evaluate(values)
+
+    def leaf_names(self):
+        return self.a.leaf_names()

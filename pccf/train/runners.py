@@ -32,6 +32,7 @@ import optax
 from pccf.config.experiment import Experiment
 from pccf.data.structures import Outputs
 from pccf.dist import get_mesh, replicate, shard_batch
+from pccf.dist import mesh as mesh_mod
 from pccf.train.grad_ops import get_grad_op
 from pccf.train.loader import DataLoader
 from pccf.train.model import Model
@@ -174,7 +175,7 @@ class Trainer:
         # trained inner CVAE during stage-1 / EMD fine-tune runs.
         self.frozen = tuple(frozen)
         self.mesh = mesh if mesh is not None else get_mesh()
-        n = dict(self.mesh.shape).get('dp', self.mesh.devices.size)
+        n = dict(self.mesh.shape).get(mesh_mod.DATA_AXIS, self.mesh.devices.size)
         if loader.batch_size % n:
             if mesh is not None:
                 raise ValueError(

@@ -199,3 +199,25 @@ class TestMonitoredValueResolution:
         composite = losses.get_chamfer_loss() + losses.get_emd_loss()
         name, value = resolve_monitored_value(composite, {'Chamfer': 1.0, 'Loss': 9.0})
         assert value == 9.0  # incomplete components: keep the named key
+
+    def test_weighted_annealed_composite_with_attached_metric(self):
+        """The w_autoencoder-style loss ``MSE + anneal*(c1*KLD1 + c2*KLD2) |
+        Accuracy`` must monitor the loss EXPRESSION: scale weights applied,
+        the annealing factor multiplied (not added), the ``|``-attached
+        accuracy excluded."""
+        from pccf.train.hooks import resolve_monitored_value
+        from pccf.train.objectives import Loss, Metric
+
+        mse = Loss(lambda d, t: 0.0, 'MSE')
+        anneal = Loss(lambda d, t: 0.0, 'Annealing')
+        kld1 = Loss(lambda d, t: 0.0, 'KLD1')
+        kld2 = Loss(lambda d, t: 0.0, 'KLD2')
+        acc = Metric(lambda d, t: 0.0, 'Accuracy', higher_is_better=True)
+        composite = mse + anneal * (0.5 * kld1 + 2.0 * kld2) | acc
+        row = {
+            'MSE': 3.0, 'Annealing': 0.5, 'KLD1': 4.0, 'KLD2': 1.0,
+            'Accuracy': 0.9, 'Loss': 123.0,
+        }
+        name, value = resolve_monitored_value(composite, row)
+        assert 'Accuracy' not in name
+        assert value == pytest.approx(3.0 + 0.5 * (0.5 * 4.0 + 2.0 * 1.0))
