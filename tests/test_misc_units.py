@@ -108,6 +108,68 @@ class TestVisualization:
         out = render_cloud((cloud,), title='test: cloud (0.5)', save_dir=tmp_path)
         assert out is not None and out.exists() and out.suffix == '.png'
 
+    def test_rasterizer_zbuffer_occlusion(self):
+        """A sphere nearer the camera must occlude a farther one on the same
+        ray: the pixel at the shared screen position takes the NEAR colour."""
+        from pccf.utils.visualization import _EYE, _rasterize
+
+        ray = -_EYE / np.linalg.norm(_EYE)  # camera -> origin direction
+        near = _EYE + 2.0 * ray
+        far = _EYE + 4.0 * ray
+        red, blue = np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])
+        rgba = _rasterize(
+            [far[None, :], near[None, :]],
+            [blue, red],
+            [np.asarray(0.05), np.asarray(0.05)],
+            size=128,
+        )
+        centre = rgba[64, 64]
+        assert centre[3] == 1.0  # covered
+        assert centre[0] > centre[2]  # red (near) wins over blue (far)
+        # swapping draw order must not change the result (true z-buffer)
+        rgba2 = _rasterize(
+            [near[None, :], far[None, :]],
+            [red, blue],
+            [np.asarray(0.05), np.asarray(0.05)],
+            size=128,
+        )
+        np.testing.assert_allclose(rgba[64, 64], rgba2[64, 64], atol=1e-12)
+
+    def test_render_cloud_blue_red_and_arrows(self, tmp_path):
+        from pccf.utils.visualization import render_cloud
+
+        rng = np.random.default_rng(1)
+        clouds = [rng.standard_normal((32, 3)) * 0.3 for _ in range(3)]
+        arrows = 0.2 * rng.standard_normal((32, 3))
+        out = render_cloud(
+            clouds, colorscale='blue_red', arrows=arrows, title='b2r',
+            save_dir=tmp_path, size=128,
+        )
+        assert out is not None and out.exists()
+        from matplotlib import pyplot as plt
+
+        img = plt.imread(out)
+        assert img.shape == (128, 128, 4) and img[..., 3].max() == 1.0
+
+    def test_render_cloud_interactive_writes_html_viewer(self, tmp_path):
+        from pccf.utils.visualization import render_cloud
+
+        cloud = np.random.default_rng(2).standard_normal((16, 3)) * 0.3
+        render_cloud(
+            (cloud,), title='orbit me', interactive=True, save_dir=tmp_path,
+            size=64,
+        )
+        html = tmp_path / 'orbit_me.html'
+        assert html.exists()
+        text = html.read_text()
+        assert 'CLOUDS=' in text and text.count(',') > 16 * 3  # embedded points
+        assert 'addEventListener' in text  # orbit controls inline
+
+    def test_render_cloud_empty_returns_none(self):
+        from pccf.utils.visualization import render_cloud
+
+        assert render_cloud([np.zeros((0, 3))]) is None
+
     def test_confusion_matrix(self):
         from pccf.utils.visualization import confusion_matrix
 
