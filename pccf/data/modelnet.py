@@ -60,29 +60,27 @@ class ModelNet40Split(PointCloudDataset):
         return self.pcd.shape[0]
 
     def __getitems__(self, idx_list) -> list[tuple[Inputs, Targets]]:
-        """Batched fetch: native C++ assembler on the common training path
-        (resample-with-replacement + normalise + jitter; cloud == ref)."""
-        complex_path = (
-            self.inference
-            or self.resample
-            or self.augment.rotation
-            or self.augment.translation_and_scale
-        )
-        if not complex_path:
+        """Batched fetch: native C++ assembler on the whole training path
+        (resample + normalise + jitter + shared rotation/scale/translation;
+        inference keeps the per-item cached path)."""
+        if not self.inference:
             from pccf import native
 
-            ids = np.asarray(idx_list, np.int64)
-            batch = native.assemble_batch(
+            pair = native.assemble_batch_aug(
                 self.pcd,
-                ids,
+                np.asarray(idx_list, np.int64),
                 self.input_points,
                 seed=int(self.rng.integers(2**62)),
                 jitter_sigma=self.jitter.sigma or 0.0,
                 jitter_clip=self.jitter.clip or 0.0,
+                resample=self.resample,
+                rotate=self.augment.rotation,
+                translate=self.augment.translation_and_scale,
             )
-            if batch is not None:
+            if pair is not None:
+                cloud_b, ref_b = pair
                 return [
-                    (Inputs(cloud=batch[i]), Targets(ref_cloud=batch[i], label=np.int64(self.labels[j])))
+                    (Inputs(cloud=cloud_b[i]), Targets(ref_cloud=ref_b[i], label=np.int64(self.labels[j])))
                     for i, j in enumerate(idx_list)
                 ]
         return [self[int(i)] for i in idx_list]

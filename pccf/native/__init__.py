@@ -22,7 +22,11 @@ import numpy as np
 logger = logging.getLogger('pccf')
 
 _DIR = pathlib.Path(__file__).resolve().parent
-_SO = _DIR / '_cloudbatch.so'
+# version-suffixed: dlopen dedups by pathname, so a rebuilt library at the
+# SAME path would return the stale in-process mapping — bump _ABI_VERSION
+# whenever the C surface changes (keep in sync with pccf_native_version)
+_ABI_VERSION = 2
+_SO = _DIR / f'_cloudbatch_v{_ABI_VERSION}.so'
 _SRC = _DIR / 'cloud_sampler.cpp'
 
 _lib: ctypes.CDLL | None = None
@@ -59,6 +63,11 @@ def load() -> ctypes.CDLL | None:
         if not _build():
             return None
         lib = ctypes.CDLL(str(_SO))
+    if not hasattr(lib, 'pccf_assemble_batch_aug') or lib.pccf_native_version() != _ABI_VERSION:
+        # a stale build at the versioned path (shouldn't happen, but a
+        # crashed partial build could): fall back to the numpy data path
+        logger.warning('native library at %s has the wrong ABI; using numpy data path', _SO)
+        return None
     lib.pccf_assemble_batch.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
@@ -73,6 +82,24 @@ def load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.pccf_assemble_batch.restype = None
+    lib.pccf_assemble_batch_aug.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.pccf_assemble_batch_aug.restype = None
     _lib = lib
     return _lib
 
@@ -118,3 +145,52 @@ def assemble_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def assemble_batch_aug(
+    clouds: np.ndarray,
+    item_ids: np.ndarray,
+    n_out: int,
+    seed: int,
+    jitter_sigma: float = 0.0,
+    jitter_clip: float = 0.0,
+    resample: bool = False,
+    rotate: bool = False,
+    translate: bool = False,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Assemble (input, reference) training batches with augmentations.
+
+    Semantics match the python item path (pccf/data/modelnet.py:95-106):
+    input = jitter(normalise(sample)); reference = ``normalise(full)[sample2]``
+    when ``resample`` else the input; one shared rotation-about-y and
+    per-axis scale/translation is applied to both clouds of a pair.
+
+    Returns ``(cloud, ref)`` each ``(batch, n_out, 3)`` float32, or None
+    when the native lib is absent.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    clouds = np.ascontiguousarray(clouds, np.float32)
+    item_ids = np.ascontiguousarray(item_ids, np.int64)
+    batch = item_ids.shape[0]
+    out = np.empty((batch, n_out, 3), np.float32)
+    ref = np.empty((batch, n_out, 3), np.float32)
+    lib.pccf_assemble_batch_aug(
+        clouds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        clouds.shape[0],
+        clouds.shape[1],
+        item_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        batch,
+        n_out,
+        ctypes.c_uint64(seed & (2**64 - 1)),
+        1 if jitter_sigma and jitter_clip else 0,
+        float(jitter_sigma),
+        float(jitter_clip),
+        1 if resample else 0,
+        1 if rotate else 0,
+        1 if translate else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out, ref

@@ -68,17 +68,81 @@ void process_item(const float* cloud, int64_t n_src, int64_t n_out,
     }
     float inv = max_r2 > 0 ? (float)(1.0 / std::sqrt(max_r2)) : 1.0f;
     for (int64_t i = 0; i < 3 * n_out; ++i) out[i] *= inv;
-    // clipped gaussian jitter
+    // clipped gaussian jitter (all 3*n_out coordinates, incl. an odd tail)
     if (do_jitter) {
-        for (int64_t i = 0; i + 1 < 3 * n_out; i += 2) {
+        int64_t total = 3 * n_out;
+        for (int64_t i = 0; i < total; i += 2) {
             float a, b;
             rng.normal2(&a, &b);
             a *= sigma; b *= sigma;
             if (a > clip) a = clip; if (a < -clip) a = -clip;
             if (b > clip) b = clip; if (b < -clip) b = -clip;
-            out[i] += a; out[i + 1] += b;
+            out[i] += a;
+            if (i + 1 < total) out[i + 1] += b;
         }
     }
+}
+
+// Augmented training path (reference src/data/modelnet.py:38-59 +
+// src/data/augmentations.py:29-76): input cloud = normalise(sample) +
+// jitter; reference cloud = resample ? normalise(full)[sample2] : input;
+// then ONE shared rotation-about-y / per-axis-scale / translation applied
+// to both clouds (the pair must see the same transform).
+void process_item_aug(const float* cloud, int64_t n_src, int64_t n_out,
+                      uint64_t seed, int do_jitter, float sigma, float clip,
+                      int do_resample, int do_rotate, int do_translate,
+                      float* out, float* ref) {
+    Rng rng(seed);
+    process_item(cloud, n_src, n_out, rng.next(), do_jitter, sigma, clip, out);
+    if (do_resample) {
+        // normalise the FULL cloud (mean/radius over all n_src points,
+        // matching the python path), then gather an independent sample
+        double mean[3] = {0, 0, 0};
+        for (int64_t i = 0; i < n_src; ++i)
+            for (int c = 0; c < 3; ++c) mean[c] += cloud[3 * i + c];
+        for (int c = 0; c < 3; ++c) mean[c] /= (double)n_src;
+        double max_r2 = 0.0;
+        for (int64_t i = 0; i < n_src; ++i) {
+            double r2 = 0.0;
+            for (int c = 0; c < 3; ++c) {
+                double v = cloud[3 * i + c] - mean[c];
+                r2 += v * v;
+            }
+            if (r2 > max_r2) max_r2 = r2;
+        }
+        float inv = max_r2 > 0 ? (float)(1.0 / std::sqrt(max_r2)) : 1.0f;
+        for (int64_t i = 0; i < n_out; ++i) {
+            const float* p = cloud + 3 * rng.below((uint64_t)n_src);
+            for (int c = 0; c < 3; ++c)
+                ref[3 * i + c] = (float)((p[c] - mean[c]) * inv);
+        }
+    }
+    float* both[2] = {out, do_resample ? ref : nullptr};
+    if (do_rotate) {
+        // rotation about y: [x, z] @ [[c, -s], [s, c]]
+        double theta = 2.0 * 3.141592653589793 * rng.uniform();
+        float c = (float)std::cos(theta), s = (float)std::sin(theta);
+        for (float* q : both) {
+            if (!q) continue;
+            for (int64_t i = 0; i < n_out; ++i) {
+                float x = q[3 * i], z = q[3 * i + 2];
+                q[3 * i] = x * c + z * s;
+                q[3 * i + 2] = -x * s + z * c;
+            }
+        }
+    }
+    if (do_translate) {
+        // per-axis scale in [2/3, 3/2] and translation in [-0.2, 0.2]
+        float sc[3], tr[3];
+        for (int c = 0; c < 3; ++c) sc[c] = (float)(rng.uniform() * 5.0 / 6.0 + 2.0 / 3.0);
+        for (int c = 0; c < 3; ++c) tr[c] = (float)(rng.uniform() * 0.4 - 0.2);
+        for (float* q : both) {
+            if (!q) continue;
+            for (int64_t i = 0; i < n_out; ++i)
+                for (int c = 0; c < 3; ++c) q[3 * i + c] = q[3 * i + c] * sc[c] + tr[c];
+        }
+    }
+    if (!do_resample) std::memcpy(ref, out, sizeof(float) * 3 * (size_t)n_out);
 }
 
 }  // namespace
@@ -112,6 +176,35 @@ void pccf_assemble_batch(const float* clouds, int64_t n_items, int64_t n_src,
     for (auto& th : pool) th.join();
 }
 
-int pccf_native_version() { return 1; }
+// Augmented variant: also emits the reference cloud and applies the shared
+// rotation / scale+translation augmentations.
+// out, ref: (batch, n_out, 3) preallocated f32
+void pccf_assemble_batch_aug(const float* clouds, int64_t n_items, int64_t n_src,
+                             const int64_t* item_ids, int64_t batch, int64_t n_out,
+                             uint64_t seed, int do_jitter, float sigma, float clip,
+                             int do_resample, int do_rotate, int do_translate,
+                             float* out, float* ref) {
+    (void)n_items;
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if ((int64_t)n_threads > batch) n_threads = (int)batch;
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+        pool.emplace_back([=]() {
+            for (int64_t b = t; b < batch; b += n_threads) {
+                const float* cloud = clouds + 3 * n_src * item_ids[b];
+                uint64_t item_seed = seed * 0x100000001B3ULL + (uint64_t)b * 0x9E3779B1ULL
+                                     + (uint64_t)item_ids[b];
+                process_item_aug(cloud, n_src, n_out, item_seed, do_jitter, sigma, clip,
+                                 do_resample, do_rotate, do_translate,
+                                 out + 3 * n_out * b, ref + 3 * n_out * b);
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+}
+
+int pccf_native_version() { return 2; }
 
 }  // extern "C"

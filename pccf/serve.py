@@ -1,0 +1,258 @@
+"""Production serving for counterfactual generation.
+
+Beyond-parity component: the reference ships batch evaluation scripts only
+(`evaluate_counterfactuals.py`, `visualize_counterfactuals.py`); this module
+packages the same model path for deployment on TPU serving hosts:
+
+- **checkpoint -> callable**: :meth:`CounterfactualServer.from_config` loads
+  the trained classifier + CounterfactualVQVAE exactly like the evaluation
+  entry points (train_w_autoencoder.load_models).
+- **shape-bucketed compile cache**: requests are padded to the next batch
+  bucket, so XLA traces/compiles once per bucket and every later call is a
+  cache hit — no recompiles in steady state, bounded compile count up front
+  (optionally eagerly via :meth:`warmup`).
+- **microbatching**: single-cloud requests accumulate (`submit`/`flush`)
+  and run as one device batch.  The encoder's per-point kernel costs
+  amortise with batch (see BASELINE.md serving measurements: batch-64 is
+  substantially cheaper per sample than batch-16).
+- **optional bf16 weight cast**: halves HBM weight traffic; matmuls then
+  run bf16xf32 on the MXU.  Opt-in because it perturbs logits/recon at the
+  1e-2 relative level.
+- per-sample ``target_dim`` / ``target_value``: mixed requests batch
+  together (the model's one-hot interpolation broadcasts per row).
+- **batching-invariant determinism**: the decoder's sampling scaffold is
+  derived per request from ``sampling_seed`` (default 0), not from a
+  batch-shaped RNG draw — the same request returns the same output no
+  matter how it is padded, chunked, or microbatched with others.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pccf.data.structures import Inputs
+
+Array = jax.Array
+
+_DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(buckets[-1])
+
+
+def _pad_batch(x: np.ndarray, b: int) -> np.ndarray:
+    if x.shape[0] == b:
+        return x
+    pad = [(0, b - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+class CounterfactualServer:
+    """Serve counterfactual generation (and classification) from checkpoints.
+
+    Parameters
+    ----------
+    vqvae, classifier:
+        `pccf.train.Model` wrappers holding trained variables.  The
+        classifier is optional — without it, callers must pass ``logits``.
+    buckets:
+        ascending batch buckets; a request batch pads to the smallest
+        bucket that fits (oversize batches run in bucket-size chunks).
+    cast_bf16:
+        cast float32 params to bfloat16 for serving.
+    """
+
+    def __init__(
+        self,
+        vqvae,
+        classifier=None,
+        buckets: Sequence[int] = _DEFAULT_BUCKETS,
+        cast_bf16: bool = False,
+        seed: int = 0,
+    ) -> None:
+        if not buckets or list(buckets) != sorted(set(int(b) for b in buckets)):
+            raise ValueError(f'buckets must be ascending and unique, got {buckets}')
+        self.buckets = tuple(int(b) for b in buckets)
+        self._vq_module = vqvae.module
+        self._vq_vars = self._cast(vqvae.variables) if cast_bf16 else vqvae.variables
+        self._cls_module = classifier.module if classifier is not None else None
+        self._cls_vars = (
+            (self._cast(classifier.variables) if cast_bf16 else classifier.variables)
+            if classifier is not None
+            else None
+        )
+        self._queue: list[tuple[int, np.ndarray, np.ndarray | None, int, float, int]] = []
+        self._next_ticket = 0
+        self.stats: dict[str, Any] = {'served': 0, 'batches': 0, 'padded': 0}
+
+        base_key = jax.random.key(seed)
+        n_out = int(self._vq_module.n_inference_output_points)
+        sample_dim = int(self._vq_module.decoder.sample_dim)
+
+        @jax.jit
+        def _gen(variables, cloud, logits, target_dim, target_value, seeds):
+            # per-request decoder scaffold: fold the request seed, not a
+            # batch-shaped draw, so outputs are pad/chunk/batch invariant
+            init_s = jax.vmap(
+                lambda s: jax.random.normal(
+                    jax.random.fold_in(base_key, s), (n_out, sample_dim)
+                )
+            )(seeds)
+            out = self._vq_module.apply(
+                variables,
+                Inputs(cloud=cloud, initial_sampling=init_s),
+                logits,
+                target_dim,
+                target_value,
+                method='generate_counterfactual',
+            )
+            return out.recon
+
+        self._gen = _gen
+
+        if self._cls_module is not None:
+
+            @jax.jit
+            def _cls(variables, cloud):
+                return self._cls_module.apply(variables, Inputs(cloud=cloud), train=False)
+
+            self._cls = _cls
+
+    @staticmethod
+    def _cast(variables):
+        return jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            variables,
+        )
+
+    @classmethod
+    def from_config(cls, cfg, **kwargs) -> 'CounterfactualServer':
+        """Build from a composed config: loads both checkpoints like the
+        evaluation entry points (train_w_autoencoder.load_models)."""
+        from train_w_autoencoder import load_models
+
+        classifier, vqvae = load_models(cfg)
+        return cls(vqvae, classifier, **kwargs)
+
+    # ------------------------------------------------------------- direct
+    def classify(self, clouds: np.ndarray) -> np.ndarray:
+        """Logits for a batch of clouds (bucketed like generation)."""
+        if self._cls_module is None:
+            raise ValueError('server built without a classifier')
+        clouds = np.asarray(clouds, np.float32)
+        b = _next_bucket(clouds.shape[0], self.buckets)
+        if clouds.shape[0] > b:  # oversize: chunk
+            return np.concatenate(
+                [self.classify(clouds[i : i + b]) for i in range(0, clouds.shape[0], b)]
+            )
+        out = self._cls(self._cls_vars, _pad_batch(clouds, b))
+        return np.asarray(out[: clouds.shape[0]], np.float32)
+
+    def counterfactual(
+        self,
+        clouds: np.ndarray,
+        target_dim: int | np.ndarray,
+        logits: np.ndarray | None = None,
+        target_value: float | np.ndarray = 1.0,
+        sampling_seed: int | np.ndarray = 0,
+    ) -> np.ndarray:
+        """Counterfactual reconstructions ``(B, n_out, 3)`` for a batch.
+
+        ``target_dim``/``target_value``/``sampling_seed`` may be scalars or
+        per-sample arrays.  When ``logits`` is omitted the in-server
+        classifier provides them.  Outputs are deterministic per request
+        (same cloud/logits/target/seed -> same recon, however batched).
+        """
+        clouds = np.asarray(clouds, np.float32)
+        n = clouds.shape[0]
+        if logits is None:
+            logits = self.classify(clouds)
+        logits = np.asarray(logits, np.float32)
+        tdim = np.broadcast_to(np.asarray(target_dim, np.int32), (n,)).copy()
+        tval = np.broadcast_to(np.asarray(target_value, np.float32), (n,)).copy()
+        seeds = np.broadcast_to(np.asarray(sampling_seed, np.int32), (n,)).copy()
+        b = _next_bucket(n, self.buckets)
+        if n > b:  # oversize: serve in bucket-size chunks
+            return np.concatenate(
+                [
+                    self.counterfactual(
+                        clouds[i : i + b], tdim[i : i + b], logits[i : i + b],
+                        tval[i : i + b], seeds[i : i + b],
+                    )
+                    for i in range(0, n, b)
+                ]
+            )
+        recon = self._gen(
+            self._vq_vars,
+            _pad_batch(clouds, b),
+            _pad_batch(logits, b),
+            _pad_batch(tdim, b),
+            _pad_batch(tval, b)[:, None],
+            _pad_batch(seeds, b),
+        )
+        self.stats['served'] += n
+        self.stats['batches'] += 1
+        self.stats['padded'] += b - n
+        return np.asarray(recon[:n], np.float32)
+
+    # ------------------------------------------------------ microbatching
+    def submit(
+        self,
+        cloud: np.ndarray,
+        target_dim: int,
+        logits: np.ndarray | None = None,
+        target_value: float = 1.0,
+        sampling_seed: int = 0,
+    ) -> int:
+        """Queue one cloud ``(N, 3)``; returns a ticket for :meth:`flush`."""
+        cloud = np.asarray(cloud, np.float32)
+        if cloud.ndim != 2 or cloud.shape[-1] != 3:
+            raise ValueError(f'cloud must be (N, 3), got {cloud.shape}')
+        if self._queue and cloud.shape != self._queue[0][1].shape:
+            raise ValueError(
+                f'cloud shape {cloud.shape} differs from queued '
+                f'{self._queue[0][1].shape}; flush() before switching shapes'
+            )
+        ticket = self._next_ticket
+        self._next_ticket += 1
+        self._queue.append(
+            (ticket, cloud, logits, int(target_dim), float(target_value), int(sampling_seed))
+        )
+        return ticket
+
+    def flush(self) -> dict[int, np.ndarray]:
+        """Serve all queued requests as one batch; returns ticket -> recon."""
+        if not self._queue:
+            return {}
+        queue = self._queue
+        clouds = np.stack([q[1] for q in queue])
+        tdim = np.asarray([q[3] for q in queue], np.int32)
+        tval = np.asarray([q[4] for q in queue], np.float32)
+        seeds = np.asarray([q[5] for q in queue], np.int32)
+        have_logits = [q[2] for q in queue]
+        if any(lg is None for lg in have_logits):
+            logits = np.array(self.classify(clouds))  # writable copy
+            for i, lg in enumerate(have_logits):
+                if lg is not None:
+                    logits[i] = np.asarray(lg, np.float32)
+        else:
+            logits = np.stack([np.asarray(lg, np.float32) for lg in have_logits])
+        recon = self.counterfactual(clouds, tdim, logits, tval, seeds)
+        self._queue = []  # drain only after success: a failed flush keeps tickets redeemable
+        return {q[0]: recon[i] for i, q in enumerate(queue)}
+
+    # ------------------------------------------------------------- warmup
+    def warmup(self, n_points: int, n_classes: int, buckets: Sequence[int] | None = None) -> None:
+        """Eagerly compile the given (default: all) buckets."""
+        for b in buckets or self.buckets:
+            cloud = np.zeros((b, n_points, 3), np.float32)
+            logits = np.zeros((b, n_classes), np.float32)
+            self.counterfactual(cloud, 0, logits, 1.0)

@@ -1,0 +1,160 @@
+"""Serving-module tests on tiny shapes (CPU): bucketing, microbatching,
+per-sample targets, bf16 cast, compile-cache behaviour."""
+
+import numpy as np
+import pytest
+
+from pccf.config import get_config_all
+from pccf.data.structures import Inputs
+from pccf.models import get_autoencoder
+from pccf.nn import get_classifier
+from pccf.serve import CounterfactualServer, _next_bucket, _pad_batch
+from pccf.train import Model
+
+from tests.test_models import TINY_OVERRIDES
+
+N_IN = 64
+
+
+@pytest.fixture(scope='module')
+def server():
+    cfg = get_config_all(TINY_OVERRIDES)
+    classifier = Model(get_classifier(cfg), name='cls', seed=0)
+    classifier.initialize(Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)), train=False)
+    vqvae = Model(get_autoencoder(cfg), name='vq', seed=0)
+    vqvae.initialize(
+        Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)),
+        np.zeros((1, cfg.data.dataset.n_classes), np.float32),
+        method='full_init',
+    )
+    return CounterfactualServer(vqvae, classifier, buckets=(2, 4))
+
+
+def _clouds(n, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, N_IN, 3)).astype(np.float32) / 2
+
+
+class TestBucketing:
+    def test_next_bucket(self):
+        assert _next_bucket(1, (2, 4)) == 2
+        assert _next_bucket(3, (2, 4)) == 4
+        assert _next_bucket(9, (2, 4)) == 4  # oversize -> chunking bucket
+
+    def test_pad_batch(self):
+        x = np.ones((3, 5))
+        p = _pad_batch(x, 4)
+        assert p.shape == (4, 5) and p[3].sum() == 0.0
+
+    def test_bad_buckets_rejected(self, server):
+        with pytest.raises(ValueError):
+            CounterfactualServer(object(), buckets=(4, 2))
+
+
+class TestServing:
+    def test_counterfactual_pads_and_unpads(self, server):
+        out = server.counterfactual(_clouds(3), target_dim=1)
+        assert out.shape[0] == 3 and out.shape[2] == 3
+        assert np.isfinite(out).all()
+
+    def test_oversize_batch_chunks_match_single_requests(self, server):
+        clouds = _clouds(6, seed=1)
+        logits = server.classify(clouds)
+        whole = server.counterfactual(clouds, 0, logits)
+        parts = np.concatenate(
+            [server.counterfactual(clouds[i : i + 2], 0, logits[i : i + 2]) for i in (0, 2, 4)]
+        )
+        np.testing.assert_allclose(whole, parts, atol=1e-5)
+
+    def test_per_sample_targets_match_per_row_calls(self, server):
+        clouds = _clouds(2, seed=2)
+        logits = server.classify(clouds)
+        tdim = np.asarray([0, 1])
+        tval = np.asarray([1.0, 0.5])
+        mixed = server.counterfactual(clouds, tdim, logits, tval)
+        for i in range(2):
+            solo = server.counterfactual(
+                clouds[i : i + 1], int(tdim[i]), logits[i : i + 1], float(tval[i])
+            )
+            np.testing.assert_allclose(mixed[i], solo[0], atol=1e-4)
+
+    def test_padding_does_not_change_results(self, server):
+        """Row 0 of a padded (1 -> bucket 2) batch equals row 0 of a full
+        batch: padded rows must not leak into real outputs."""
+        clouds = _clouds(2, seed=3)
+        logits = server.classify(clouds)
+        single = server.counterfactual(clouds[:1], 1, logits[:1])
+        pair = server.counterfactual(clouds, 1, logits)
+        np.testing.assert_allclose(single[0], pair[0], atol=1e-4)
+
+    def test_classify_without_classifier_raises(self):
+        cfg = get_config_all(TINY_OVERRIDES)
+        vqvae = Model(get_autoencoder(cfg), name='vq2', seed=0)
+        vqvae.initialize(
+            Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)),
+            np.zeros((1, cfg.data.dataset.n_classes), np.float32),
+            method='full_init',
+        )
+        srv = CounterfactualServer(vqvae, buckets=(2,))
+        with pytest.raises(ValueError):
+            srv.classify(_clouds(1))
+        # logits provided explicitly still serves
+        out = srv.counterfactual(_clouds(1), 0, logits=np.zeros((1, 2), np.float32))
+        assert out.shape[0] == 1
+
+
+class TestMicrobatching:
+    def test_submit_flush_round_trip(self, server):
+        clouds = _clouds(3, seed=4)
+        logits = server.classify(clouds)
+        tickets = [server.submit(clouds[i], target_dim=i % 2, logits=logits[i]) for i in range(3)]
+        results = server.flush()
+        assert sorted(results) == sorted(tickets)
+        direct = server.counterfactual(clouds, np.asarray([0, 1, 0]), logits)
+        for i, t in enumerate(tickets):
+            np.testing.assert_allclose(results[t], direct[i], atol=1e-4)
+        assert server.flush() == {}  # queue drained
+
+    def test_submit_validates_shapes(self, server):
+        with pytest.raises(ValueError):
+            server.submit(np.zeros((N_IN, 2), np.float32), 0)  # not (N, 3)
+        t = server.submit(np.zeros((N_IN, 3), np.float32), 0)
+        with pytest.raises(ValueError):
+            server.submit(np.zeros((N_IN * 2, 3), np.float32), 0)  # mixed N
+        assert t in server.flush()  # valid request still redeemable
+
+    def test_flush_fills_missing_logits_from_classifier(self, server):
+        clouds = _clouds(2, seed=5)
+        t0 = server.submit(clouds[0], target_dim=0)  # no logits
+        t1 = server.submit(clouds[1], target_dim=1, logits=server.classify(clouds[1:2])[0])
+        results = server.flush()
+        assert set(results) == {t0, t1}
+        assert all(np.isfinite(v).all() for v in results.values())
+
+
+class TestBF16:
+    def test_bf16_cast_serves_close_to_f32(self):
+        import jax.numpy as jnp
+
+        cfg = get_config_all(TINY_OVERRIDES)
+        classifier = Model(get_classifier(cfg), name='cls3', seed=0)
+        classifier.initialize(Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)), train=False)
+        vqvae = Model(get_autoencoder(cfg), name='vq3', seed=0)
+        vqvae.initialize(
+            Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)),
+            np.zeros((1, cfg.data.dataset.n_classes), np.float32),
+            method='full_init',
+        )
+        f32 = CounterfactualServer(vqvae, classifier, buckets=(2,))
+        b16 = CounterfactualServer(vqvae, classifier, buckets=(2,), cast_bf16=True)
+        import jax
+
+        assert any(
+            p.dtype == jnp.bfloat16 for p in jax.tree.leaves(b16._vq_vars)
+        )
+        clouds = _clouds(2, seed=6)
+        logits = f32.classify(clouds)
+        a = f32.counterfactual(clouds, 0, logits)
+        b = b16.counterfactual(clouds, 0, logits)
+        assert np.isfinite(b).all()
+        # bf16 is a lossy speed mode; outputs stay in the same regime
+        assert np.abs(a - b).max() < 0.3
