@@ -68,6 +68,11 @@ class CounterfactualServer:
         bucket that fits (oversize batches run in bucket-size chunks).
     cast_bf16:
         cast float32 params to bfloat16 for serving.
+    mesh:
+        optional ``jax.sharding.Mesh`` for data-parallel serving: weights
+        replicate over the mesh, request batches shard along the data axis,
+        and GSPMD partitions the decode across chips.  Buckets must be
+        divisible by the mesh's data-axis size.
     """
 
     def __init__(
@@ -77,10 +82,21 @@ class CounterfactualServer:
         buckets: Sequence[int] = _DEFAULT_BUCKETS,
         cast_bf16: bool = False,
         seed: int = 0,
+        mesh=None,
     ) -> None:
         if not buckets or list(buckets) != sorted(set(int(b) for b in buckets)):
             raise ValueError(f'buckets must be ascending and unique, got {buckets}')
         self.buckets = tuple(int(b) for b in buckets)
+        self.mesh = mesh
+        if mesh is not None:
+            from pccf.dist.mesh import DATA_AXIS
+
+            dp = dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
+            bad = [b for b in self.buckets if b % dp]
+            if bad:
+                raise ValueError(
+                    f'buckets {bad} are not divisible by the {dp}-way data axis'
+                )
         self._vq_module = vqvae.module
         self._vq_vars = self._cast(vqvae.variables) if cast_bf16 else vqvae.variables
         self._cls_module = classifier.module if classifier is not None else None
@@ -89,6 +105,12 @@ class CounterfactualServer:
             if classifier is not None
             else None
         )
+        if mesh is not None:
+            from pccf.dist.mesh import replicate
+
+            self._vq_vars = replicate(self._vq_vars, mesh)
+            if self._cls_vars is not None:
+                self._cls_vars = replicate(self._cls_vars, mesh)
         self._queue: list[tuple[int, np.ndarray, np.ndarray | None, int, float, int]] = []
         self._next_ticket = 0
         self.stats: dict[str, Any] = {'served': 0, 'batches': 0, 'padded': 0}
@@ -126,6 +148,15 @@ class CounterfactualServer:
 
             self._cls = _cls
 
+    def _put(self, batch):
+        """Shard padded request arrays over the mesh's data axis (no-op
+        single-chip)."""
+        if self.mesh is None:
+            return batch
+        from pccf.dist.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh, strict=True)
+
     @staticmethod
     def _cast(variables):
         return jax.tree.map(
@@ -153,7 +184,7 @@ class CounterfactualServer:
             return np.concatenate(
                 [self.classify(clouds[i : i + b]) for i in range(0, clouds.shape[0], b)]
             )
-        out = self._cls(self._cls_vars, _pad_batch(clouds, b))
+        out = self._cls(self._cls_vars, self._put(_pad_batch(clouds, b)))
         return np.asarray(out[: clouds.shape[0]], np.float32)
 
     def counterfactual(
@@ -192,11 +223,15 @@ class CounterfactualServer:
             )
         recon = self._gen(
             self._vq_vars,
-            _pad_batch(clouds, b),
-            _pad_batch(logits, b),
-            _pad_batch(tdim, b),
-            _pad_batch(tval, b)[:, None],
-            _pad_batch(seeds, b),
+            *self._put(
+                (
+                    _pad_batch(clouds, b),
+                    _pad_batch(logits, b),
+                    _pad_batch(tdim, b),
+                    _pad_batch(tval, b)[:, None],
+                    _pad_batch(seeds, b),
+                )
+            ),
         )
         self.stats['served'] += n
         self.stats['batches'] += 1

@@ -131,6 +131,36 @@ class TestMicrobatching:
         assert all(np.isfinite(v).all() for v in results.values())
 
 
+class TestMeshServing:
+    def test_dp_mesh_matches_single_device(self, server):
+        """Data-parallel serving over the virtual 8-device mesh returns the
+        same recons as the single-device server (dp shards rows only)."""
+        from pccf.dist.mesh import get_mesh
+
+        cfg = get_config_all(TINY_OVERRIDES)
+        classifier = Model(get_classifier(cfg), name='cls_m', seed=0)
+        classifier.initialize(Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)), train=False)
+        vqvae = Model(get_autoencoder(cfg), name='vq_m', seed=0)
+        vqvae.initialize(
+            Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)),
+            np.zeros((1, cfg.data.dataset.n_classes), np.float32),
+            method='full_init',
+        )
+        mesh = get_mesh(4)
+        meshed = CounterfactualServer(vqvae, classifier, buckets=(4, 8), mesh=mesh)
+        clouds = _clouds(3, seed=7)
+        logits = meshed.classify(clouds)
+        got = meshed.counterfactual(clouds, 1, logits)
+        want = server.counterfactual(clouds, 1, server.classify(clouds))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_indivisible_buckets_rejected(self):
+        from pccf.dist.mesh import get_mesh
+
+        with pytest.raises(ValueError):
+            CounterfactualServer(object(), buckets=(2, 6), mesh=get_mesh(4))
+
+
 class TestBF16:
     def test_bf16_cast_serves_close_to_f32(self):
         import jax.numpy as jnp
