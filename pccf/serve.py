@@ -140,6 +140,19 @@ class CounterfactualServer:
 
         self._gen = _gen
 
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=('batch_size',))
+        def _sample(variables, z1_bias, probs, sample_seed, *, batch_size):
+            rngs = {'sampling': jax.random.fold_in(base_key, sample_seed)}
+            out = self._vq_module.apply(
+                variables, batch_size, None, z1_bias, probs,
+                method='generate', rngs=rngs,
+            )
+            return out.recon
+
+        self._sample = _sample
+
         if self._cls_module is not None:
 
             @jax.jit
@@ -232,6 +245,33 @@ class CounterfactualServer:
                     _pad_batch(seeds, b),
                 )
             ),
+        )
+        self.stats['served'] += n
+        self.stats['batches'] += 1
+        self.stats['padded'] += b - n
+        return np.asarray(recon[:n], np.float32)
+
+    def generate(
+        self,
+        n: int,
+        z1_bias: float = 0.0,
+        probs: np.ndarray | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Sample ``n`` clouds from the generative prior (reference
+        generate.py path).  Deterministic per (bucket, seed); pass distinct
+        seeds for distinct draws."""
+        b = _next_bucket(n, self.buckets)
+        if n > b:
+            return np.concatenate(
+                [
+                    self.generate(min(b, n - i), z1_bias, None if probs is None else probs[i : i + b], seed + i)
+                    for i in range(0, n, b)
+                ]
+            )
+        p = None if probs is None else self._put(_pad_batch(np.asarray(probs, np.float32), b))
+        recon = self._sample(
+            self._vq_vars, float(z1_bias), p, int(seed), batch_size=b
         )
         self.stats['served'] += n
         self.stats['batches'] += 1

@@ -131,6 +131,25 @@ class TestMicrobatching:
         assert all(np.isfinite(v).all() for v in results.values())
 
 
+class TestGenerate:
+    def test_generate_shapes_and_determinism(self, server):
+        a = server.generate(3, seed=1)
+        b = server.generate(3, seed=1)
+        assert a.shape[0] == 3 and a.shape[2] == 3 and np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)
+        c = server.generate(3, seed=2)
+        assert np.abs(a - c).max() > 1e-4  # distinct draws per seed
+
+    def test_generate_with_probs(self, server):
+        probs = np.asarray([[1.0, 0.0], [0.0, 1.0]], np.float32)
+        out = server.generate(2, probs=probs)
+        assert out.shape[0] == 2 and np.isfinite(out).all()
+
+    def test_generate_oversize_chunks(self, server):
+        out = server.generate(9)  # buckets (2, 4): chunks of 4
+        assert out.shape[0] == 9 and np.isfinite(out).all()
+
+
 class TestMeshServing:
     def test_dp_mesh_matches_single_device(self, server):
         """Data-parallel serving over the virtual 8-device mesh returns the
