@@ -184,23 +184,27 @@ def bench_counterfactual(batch=16, n=2048):
 
     # serving-layer point: the same decode through pccf.serve (bucketed jit
     # cache + host pad/unpad + device_get) — quantifies serving overhead
-    # over the raw model path above (an extra, not the parity number)
-    import time as _time
+    # over the raw model path above (an extra: its failure must not lose the
+    # already-measured counterfactual parity numbers)
+    try:
+        import time as _time
 
-    from pccf.serve import CounterfactualServer
-    from pccf.train import Model as _Model
+        from pccf.serve import CounterfactualServer
+        from pccf.train import Model as _Model
 
-    m = _Model(model, name='bench_serve', seed=0)
-    m.variables = variables
-    server = CounterfactualServer(m, buckets=(big,))
-    server.counterfactual(cloud_b, 1, logits_b)  # compile
-    best = float('inf')
-    for _ in range(3):
-        t0 = _time.time()
-        for _ in range(4):
-            server.counterfactual(cloud_b, 1, logits_b)
-        best = min(best, (_time.time() - t0) / 4)
-    out['serve_b64_samples_per_s'] = big / best
+        m = _Model(model, name='bench_serve', seed=0)
+        m.variables = variables
+        server = CounterfactualServer(m, buckets=(big,))
+        server.counterfactual(cloud_b, 1, logits_b)  # compile
+        best = float('inf')
+        for _ in range(3):
+            t0 = _time.time()
+            for _ in range(4):
+                server.counterfactual(cloud_b, 1, logits_b)
+            best = min(best, (_time.time() - t0) / 4)
+        out['serve_b64_samples_per_s'] = big / best
+    except Exception as e:
+        out['serve_error'] = str(e)[:200]
     return out
 
 

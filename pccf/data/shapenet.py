@@ -47,6 +47,7 @@ class ShapenetFlowSplit(PointCloudDataset):
         self.resample = cfg_data.resample
         self.augment = augment_clouds(cfg_data)
         self.rng = np.random.default_rng(seed)
+        self.seed = seed  # loaders derive their shuffle/worker streams from this
         clouds = []
         synsets = []
         for path in paths:

@@ -48,6 +48,7 @@ class SyntheticSplit(PointCloudDataset):
         self.augment = augment_clouds(cfg_data)
         self.jitter = jitter_cloud(cfg_data)
         self.rng = np.random.default_rng(seed)
+        self.seed = seed  # loaders derive their shuffle/worker streams from this
 
     def __len__(self) -> int:
         return len(self.pcd)

@@ -75,12 +75,22 @@ def sp_chamfer(
 
         yg = jax.lax.all_gather(yl, axis, axis=1, tiled=True)  # (B, M, C)
         # within-shard compute dispatches the fused Pallas NN kernel on TPU
-        # (VMEM distance scan — the (n_loc, M) slab never hits HBM)
-        dist1, _, part2, _ = kapi.nn_distance(xl, yg)
-        # dist1 (B, n_loc) is complete (all of y present); part2 (B, M) holds
-        # this shard's partial minima over its x rows for ALL of y — the
-        # global min lands back on the shard that owns those y rows
+        # (VMEM distance scan — the (n_loc, M) slab never hits HBM).  The
+        # kernel has no AD rule, so it runs under stop_gradient for the
+        # *indices* only; the distances are then re-expressed as gathers,
+        # which gives the exact gradient of min (envelope theorem: the
+        # argmin is locally constant), matching ops.chamfer's gradient.
+        _, i1, _, i2 = kapi.nn_distance(
+            jax.lax.stop_gradient(xl), jax.lax.stop_gradient(yg)
+        )
+        dist1 = jnp.sum(
+            jnp.square(xl - jnp.take_along_axis(yg, i1[..., None], axis=1)), axis=-1
+        )  # (B, n_loc): complete (all of y present)
+        part2 = jnp.sum(
+            jnp.square(yg - jnp.take_along_axis(xl, i2[..., None], axis=1)), axis=-1
+        )  # (B, M): this shard's partial minima over its x rows for ALL of y
         fwd = jax.lax.psum(jnp.sum(dist1, axis=1), axis)
+        # the global min lands back on the shard that owns those y rows
         parts = jax.lax.all_gather(part2, axis, axis=0, tiled=False)  # (sp, B, M)
         row = jax.lax.axis_index(axis) * m_loc
         dist2 = jnp.min(jax.lax.dynamic_slice_in_dim(parts, row, m_loc, axis=2), axis=0)

@@ -45,7 +45,7 @@ _NEG = -1e30
 
 @functools.partial(jax.jit, static_argnames=('iters', 'k_active'))
 def auction_emd(
-    x1: Array, x2: Array, eps: float = 0.005, iters: int = 50, k_active: int = 256
+    x1: Array, x2: Array, eps: float = 0.005, iters: int = 50, k_active: int | None = None
 ) -> tuple[Array, Array]:
     """Approximate optimal assignment EMD via compacted Jacobi auction.
 
@@ -55,7 +55,12 @@ def auction_emd(
         eps: minimal bid increment (smaller -> more accurate, more rounds).
         iters: maximum auction rounds (loop exits early once all assigned).
         k_active: max simultaneous bidders per round; bounds the per-round
-            working set gathered from the distance matrix.
+            working set gathered from the distance matrix.  Default
+            ``min(max(256, N // 4), N)``: at the iteration-capped train
+            contract this leaves no more rows unassigned than the uncapped
+            Jacobi auction (measured), while the eval contract converges to
+            a full assignment under any cap (early exit) — the cap is what
+            keeps the long tail of nearly-converged rounds cheap.
 
     Returns:
         dis: ``(B, N)`` squared distance to the assigned target point.
@@ -63,7 +68,7 @@ def auction_emd(
     """
     b, n, _ = x1.shape
     m = x2.shape[1]
-    k = min(k_active, n)
+    k = min(k_active, n) if k_active else min(max(256, n // 4), n)
     d2 = square_distance(x1, x2)  # (B, N, M)
     neg_d2 = -d2
     batch_idx = jnp.arange(b)[:, None]

@@ -143,8 +143,10 @@ class CounterfactualServer:
         import functools
 
         @functools.partial(jax.jit, static_argnames=('batch_size',))
-        def _sample(variables, z1_bias, probs, sample_seed, *, batch_size):
-            rngs = {'sampling': jax.random.fold_in(base_key, sample_seed)}
+        def _sample(variables, z1_bias, probs, sample_seed, chunk, *, batch_size):
+            # two-level fold: (seed, chunk) — chunk seeds from one call can
+            # never collide with another call's user seeds
+            rngs = {'sampling': jax.random.fold_in(jax.random.fold_in(base_key, sample_seed), chunk)}
             out = self._vq_module.apply(
                 variables, batch_size, None, z1_bias, probs,
                 method='generate', rngs=rngs,
@@ -259,19 +261,26 @@ class CounterfactualServer:
         seed: int = 0,
     ) -> np.ndarray:
         """Sample ``n`` clouds from the generative prior (reference
-        generate.py path).  Deterministic per (bucket, seed); pass distinct
-        seeds for distinct draws."""
+        generate.py path).  Deterministic per (bucket, seed, chunk); pass
+        distinct seeds for distinct draws."""
         b = _next_bucket(n, self.buckets)
         if n > b:
             return np.concatenate(
                 [
-                    self.generate(min(b, n - i), z1_bias, None if probs is None else probs[i : i + b], seed + i)
+                    self._generate_chunk(
+                        min(b, n - i), z1_bias,
+                        None if probs is None else probs[i : i + b], seed, i // b,
+                    )
                     for i in range(0, n, b)
                 ]
             )
+        return self._generate_chunk(n, z1_bias, probs, seed, 0)
+
+    def _generate_chunk(self, n, z1_bias, probs, seed, chunk) -> np.ndarray:
+        b = _next_bucket(n, self.buckets)
         p = None if probs is None else self._put(_pad_batch(np.asarray(probs, np.float32), b))
         recon = self._sample(
-            self._vq_vars, float(z1_bias), p, int(seed), batch_size=b
+            self._vq_vars, float(z1_bias), p, int(seed), int(chunk), batch_size=b
         )
         self.stats['served'] += n
         self.stats['batches'] += 1
@@ -313,11 +322,15 @@ class CounterfactualServer:
         tval = np.asarray([q[4] for q in queue], np.float32)
         seeds = np.asarray([q[5] for q in queue], np.int32)
         have_logits = [q[2] for q in queue]
-        if any(lg is None for lg in have_logits):
-            logits = np.array(self.classify(clouds))  # writable copy
+        missing = [i for i, lg in enumerate(have_logits) if lg is None]
+        if missing:
+            computed = self.classify(clouds[missing])  # only the gaps
+            n_cls = computed.shape[1]
+            logits = np.empty((len(queue), n_cls), np.float32)
             for i, lg in enumerate(have_logits):
                 if lg is not None:
                     logits[i] = np.asarray(lg, np.float32)
+            logits[missing] = computed
         else:
             logits = np.stack([np.asarray(lg, np.float32) for lg in have_logits])
         recon = self.counterfactual(clouds, tdim, logits, tval, seeds)

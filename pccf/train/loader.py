@@ -76,12 +76,15 @@ class DataLoader:
         batch_size: int,
         n_workers: int = 0,
         pin_memory: bool = False,
-        seed: int = 0,
+        seed: int | None = None,
     ) -> None:
         del pin_memory
         self.dataset = dataset
         self.batch_size = batch_size
-        self.seed = seed
+        # default to the dataset's own (user.seed-derived) seed, so shuffle
+        # order and worker-side augmentation streams vary with user.seed even
+        # though the entry points never pass a loader seed explicitly
+        self.seed = int(seed) if seed is not None else int(getattr(dataset, 'seed', 0))
         self.n_workers = n_workers if getattr(dataset, 'supports_workers', False) else 0
         self._pool = None
 

@@ -66,6 +66,19 @@ class TestAuctionEMD:
             if j < 0:
                 assert abs(dis[i] - d2[i].min()) < 1e-5
 
+    def test_default_bidder_cap_not_worse_than_uncapped(self):
+        """The adaptive k_active default must not leave more rows unassigned
+        at the iteration-capped train contract than the uncapped auction
+        (regression: a fixed 256-bidder cap degraded large-n assignments)."""
+        x, y = _clouds(b=2, n=512, seed=13)
+        _, a_default = auction_emd(jnp.asarray(x), jnp.asarray(y), eps=0.005, iters=50)
+        _, a_full = auction_emd(
+            jnp.asarray(x), jnp.asarray(y), eps=0.005, iters=50, k_active=512
+        )
+        un_default = int((np.asarray(a_default) < 0).sum())
+        un_full = int((np.asarray(a_full) < 0).sum())
+        assert un_default <= un_full + int(0.005 * 2 * 512)
+
     def test_dis_matches_assignment(self):
         x, y = _clouds(b=1, n=32, seed=3)
         dis, assignment = auction_emd(jnp.asarray(x), jnp.asarray(y), eps=0.005, iters=200)

@@ -67,6 +67,26 @@ class TestWorkerLoader:
             np.testing.assert_array_equal(c1, c2)
             np.testing.assert_array_equal(r1, r2)
 
+    def test_user_seed_reaches_worker_streams(self, tmp_path, monkeypatch):
+        """The loader defaults its seed from the dataset's user.seed-derived
+        seed, so two experiments with different user.seed get different
+        shuffles AND different worker-side augmentation streams (regression:
+        the worker reseed used only the loader's constant default 0)."""
+        monkeypatch.setenv('DATASET_DIR', str(tmp_path / 'data'))
+        batches = {}
+        for seed in (0, 1):
+            Singleton.reset_all()
+            cfg = get_config_all(TINY + [f'user.seed={seed}'])
+            train, _ = get_datasets(cfg)
+            loader = DataLoader(train, 4, n_workers=2)
+            assert loader.seed == seed
+            batches[seed] = _epoch(loader)
+            loader.close()
+        assert any(
+            a[0].shape != b[0].shape or np.abs(a[0] - b[0]).max() > 1e-6
+            for a, b in zip(batches[0], batches[1])
+        )
+
     def test_device_backed_dataset_falls_back(self, train_dataset):
         class DeviceBacked:
             supports_workers = False

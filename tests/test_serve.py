@@ -149,6 +149,18 @@ class TestGenerate:
         out = server.generate(9)  # buckets (2, 4): chunks of 4
         assert out.shape[0] == 9 and np.isfinite(out).all()
 
+    def test_generate_chunk_seeds_do_not_collide_with_user_seeds(self, server):
+        """Chunked draws fold (seed, chunk) at two levels: a later chunk of
+        one call must not reproduce another call's first chunk (regression:
+        the seed+offset scheme made generate(8, seed=0)[4:] == generate(...,
+        seed=4))."""
+        whole = server.generate(8, seed=0)  # two chunks of bucket 4
+        first = server.generate(4, seed=0)
+        np.testing.assert_array_equal(whole[:4], first)  # chunk determinism
+        for s in range(1, 6):
+            other = server.generate(4, seed=s)
+            assert np.abs(whole[4:] - other).max() > 1e-5
+
 
 class TestMeshServing:
     def test_dp_mesh_matches_single_device(self, server):

@@ -40,6 +40,35 @@ def test_sp_chamfer_matches_golden(batch_axis):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_sp_chamfer_grad_never_traces_the_nn_kernel(monkeypatch):
+    """On TPU the dispatched nn_distance kernel is a raw pallas_call with no
+    AD rule; sp_chamfer must take only stop-gradient indices from it and
+    re-express the distances differentiably.  Simulate the AD-less kernel
+    with pure_callback (same failure class: no JVP rule) and require the
+    gradient to still work and match the golden."""
+    from pccf.kernels import api as kapi
+
+    def ad_less_nn_distance(x, y):
+        shapes = (
+            jax.ShapeDtypeStruct(x.shape[:2], x.dtype),
+            jax.ShapeDtypeStruct(x.shape[:2], jnp.int32),
+            jax.ShapeDtypeStruct((x.shape[0], y.shape[1]), x.dtype),
+            jax.ShapeDtypeStruct((x.shape[0], y.shape[1]), jnp.int32),
+        )
+        return jax.pure_callback(
+            lambda a, b: tuple(np.asarray(v) for v in ops.nn_distance(a, b)),
+            shapes, x, y, vmap_method='broadcast_all',
+        )
+
+    monkeypatch.setattr(kapi, 'nn_distance', ad_less_nn_distance)
+    mesh = _mesh_1d()
+    x, y = _clouds(b=2, n=32, m=32, seed=5)
+    gs = jax.grad(lambda a, b: jnp.sum(sp_chamfer(a, b, mesh)), argnums=(0, 1))(x, y)
+    gg = jax.grad(lambda a, b: jnp.sum(ops.chamfer(a, b)), argnums=(0, 1))(x, y)
+    for a, b in zip(gs, gg, strict=True):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_sp_chamfer_sum_reduction():
     mesh = _mesh_1d()
     x, y = _clouds(b=2, n=32, m=64, seed=3)
