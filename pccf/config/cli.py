@@ -30,6 +30,8 @@ def get_config_all(
     cfg = validate_config(tree)
     if cfg.user.seed is not None:
         _seed_numpy(cfg.user.seed)
+    if cfg.user.platform is not None:
+        _apply_platform(cfg.user.platform)
     return cfg
 
 
@@ -37,6 +39,34 @@ def _seed_numpy(seed: int) -> None:
     import numpy as np
 
     np.random.seed(seed)
+
+
+def _apply_platform(platform: str) -> None:
+    """Apply ``user.cpu=true`` (reference parallel.py:46-51 gloo/CPU path).
+
+    Must run before jax initialises its backends; the sitecustomize-pinned
+    ``JAX_PLATFORMS`` env var alone is not enough, so set the config flag
+    too. A no-op (with a warning) if jax already picked its backend.
+    """
+    import os
+    import warnings
+
+    os.environ['JAX_PLATFORMS'] = platform
+    import jax
+
+    try:
+        jax.config.update('jax_platforms', platform)
+    except Exception as e:  # pragma: no cover - defensive
+        warnings.warn(f'could not apply user platform {platform!r}: {e}', stacklevel=2)
+        return
+    backend = jax.devices()[0].platform
+    if backend != platform:
+        warnings.warn(
+            f'user requested platform {platform!r} but jax initialised {backend!r} '
+            'before config composition; restart the process with '
+            f'JAX_PLATFORMS={platform}',
+            stacklevel=2,
+        )
 
 
 def hydra_main(fn: Callable[[AllConfig], Any]) -> Callable[[], Any]:

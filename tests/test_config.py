@@ -72,6 +72,19 @@ class TestValidate:
         default = cfg.autoencoder.model.encoder.act_cls
         assert abs(float(default(jnp.asarray(-1.0))) + 0.2) < 1e-6  # LeakyReLU 0.2
 
+    def test_user_cpu_applies_platform(self, monkeypatch):
+        """``user.cpu=true`` must actually move jax to CPU (reference
+        parallel.py:46-51 gloo path) — the flag was previously inert."""
+        import os
+
+        import jax
+
+        monkeypatch.delenv('JAX_PLATFORMS', raising=False)
+        cfg = get_config_all(['user.cpu=true'])
+        assert cfg.user.platform == 'cpu'
+        assert os.environ['JAX_PLATFORMS'] == 'cpu'
+        assert jax.devices()[0].platform == 'cpu'
+
     def test_optimizer_resolution(self):
         cfg = get_config_all()
         opt = cfg.autoencoder.train.learn.optimizer_cls(1e-3, **cfg.autoencoder.train.learn.opt_settings)
