@@ -258,26 +258,40 @@ def bench_train_step(batch=8, n=2048, iters=8):
 
 
 def main() -> None:
-    # Fail fast with a parseable line if the TPU tunnel is wedged: a direct
+    # Fail (with a parseable line) if the TPU tunnel is wedged: a direct
     # jax.devices() in that state hangs forever (the axon plugin retries
     # indefinitely), so probe device init in a disposable subprocess first.
+    # The tunnel occasionally flaps, so retry the probe a few times with
+    # spacing before giving up (healthy init is well under a minute).
+    import os
     import subprocess
     import sys
 
-    try:
-        subprocess.run(
-            [sys.executable, '-c', 'import jax; jax.devices()'],
-            capture_output=True,
-            timeout=600,
-            check=True,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+    tries = int(os.environ.get('PCCF_BENCH_INIT_TRIES', '3'))
+    probe_timeout = int(os.environ.get('PCCF_BENCH_INIT_TIMEOUT', '240'))
+    gap = int(os.environ.get('PCCF_BENCH_INIT_GAP', '90'))
+    err: Exception | None = None
+    for attempt in range(tries):
+        if attempt:
+            time.sleep(gap)
+        try:
+            subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                capture_output=True,
+                timeout=probe_timeout,
+                check=True,
+            )
+            err = None
+            break
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            err = e
+    if err is not None:
         print(json.dumps({
             'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
             'value': 0.0,
             'unit': 'pairs/s',
             'vs_baseline': 0.0,
-            'error': f'device init failed/hung: {type(e).__name__}',
+            'error': f'device init failed/hung {tries}x: {type(err).__name__}',
         }))
         raise SystemExit(1)
 
