@@ -195,7 +195,8 @@ def bench_counterfactual(batch=16, n=2048):
         m = _Model(model, name='bench_serve', seed=0)
         m.variables = variables
         server = CounterfactualServer(m, buckets=(big,))
-        server.counterfactual(cloud_b, 1, logits_b)  # compile
+        server.counterfactual(cloud_b, 1, logits_b)  # compile (prepack variant)
+        server.counterfactual(cloud_b, 1, logits_b)  # compile (steady-state)
         best = float('inf')
         for _ in range(3):
             t0 = _time.time()

@@ -145,6 +145,12 @@ def pipeline_apply(
             return (act, outs), None
 
         (_, outs), _ = jax.lax.scan(step, (act0, outs0), jnp.arange(m + s - 1))
+        # Collection: finished microbatches live on stage s-1 only; the
+        # masked psum is the SPMD "located -> replicated" idiom (XLA lowers
+        # it to a ring all-reduce, ~2x the buffer bytes).  SPMD cannot keep
+        # the outs carry smaller on the other stages (one program runs
+        # everywhere), and at inner-CVAE sizes (~2 MB/batch) the collective
+        # is ~µs — not worth a hand-rolled multi-hop broadcast.
         outs = jax.lax.psum(jnp.where(idx == s - 1, outs, jnp.zeros_like(outs)), axis)
         return outs.reshape(b, *xg.shape[1:])
 

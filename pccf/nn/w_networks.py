@@ -18,6 +18,27 @@ from pccf.nn.layers import DenseBlock, TransformerDecoderLayer, TransformerEncod
 Array = jax.Array
 
 
+def _packed_stack(module, pack_fn, n_layers: int, f_max: int):
+    """Packed kernel operands for the fused transformer stack.
+
+    Packing (stack/transpose/pad of the whole weight set) is pure jnp on the
+    *params*, which are runtime arguments under jit — so done inline it
+    re-executes on every forward call.  Serving avoids that recurring cost
+    by applying once with ``mutable=['packed']`` (see
+    :meth:`pccf.serve.CounterfactualServer`): the operands land in the
+    ``packed`` variable collection and later calls read them back.  Callers
+    that never prepack (tests, evaluation runners) keep the inline path.
+    The cache is only valid while params are frozen — training never writes
+    it (the fused path is eval-only)."""
+    if module.has_variable('packed', 'stack'):
+        return module.get_variable('packed', 'stack')
+    p = module.variables['params']
+    packed = pack_fn([p[f'layer_{i}'] for i in range(n_layers)], f_max)
+    if module.is_mutable_collection('packed'):
+        module.put_variable('packed', 'stack', packed)
+    return packed
+
+
 def _fused_stack_ok(module, train: bool) -> bool:
     """Dispatch the fused Pallas transformer-stack kernel (eval only).
 
@@ -76,10 +97,7 @@ class TransformerWEncoder(nn.Module):
         if _fused_stack_ok(self, train):
             from pccf.kernels.pallas_wformer import pack_encoder_params, wformer_encoder_tpu
 
-            p = self.variables['params']
-            packed = pack_encoder_params(
-                [p[f'layer_{i}'] for i in range(len(self.mlp_dims))], max(self.mlp_dims)
-            )
+            packed = _packed_stack(self, pack_encoder_params, len(self.mlp_dims), max(self.mlp_dims))
             x = wformer_encoder_tpu(x, packed, n_heads=self.n_heads)
         else:
             rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
@@ -150,10 +168,7 @@ class TransformerWDecoder(nn.Module):
         if _fused_stack_ok(self, train):
             from pccf.kernels.pallas_wformer import pack_decoder_params, wformer_decoder_tpu
 
-            p = self.variables['params']
-            packed = pack_decoder_params(
-                [p[f'layer_{i}'] for i in range(len(self.mlp_dims))], max(self.mlp_dims)
-            )
+            packed = _packed_stack(self, pack_decoder_params, len(self.mlp_dims), max(self.mlp_dims))
             x = wformer_decoder_tpu(x, memory, packed, n_heads=self.n_heads)
         else:
             rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)
@@ -202,10 +217,7 @@ class TransformerWConditionalEncoder(nn.Module):
         if _fused_stack_ok(self, train):
             from pccf.kernels.pallas_wformer import pack_encoder_params, wformer_encoder_tpu
 
-            p = self.variables['params']
-            packed = pack_encoder_params(
-                [p[f'layer_{i}'] for i in range(len(self.mlp_dims))], max(self.mlp_dims)
-            )
+            packed = _packed_stack(self, pack_encoder_params, len(self.mlp_dims), max(self.mlp_dims))
             x = wformer_encoder_tpu(x, packed, n_heads=self.n_heads)
         else:
             rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)

@@ -427,10 +427,19 @@ class Trainer:
             ckptr = ocp.StandardCheckpointer()
             template = {'opt_state': jax.device_get(state.opt_state), 'step': 0}
             payload = ckptr.restore(opt_path, template)
+            # place each restored leaf with the layout _ensure_state gave the
+            # matching template leaf: replicated for the DP trainer, column-
+            # sharded for TPTrainer — a plain replicate() here would silently
+            # undo the TP layout on resume (moments are 2x param bytes)
+            repl = mesh_mod.replicated(self.mesh)
+
+            def _place(tmpl, val):
+                return jax.device_put(val, getattr(tmpl, 'sharding', repl))
+
             self._state = TrainState(
                 params=state.params,
                 batch_stats=state.batch_stats,
-                opt_state=replicate(payload['opt_state'], self.mesh),
+                opt_state=jax.tree.map(_place, state.opt_state, payload['opt_state']),
                 step=jnp.asarray(payload['step'], jnp.int32),
             )
 

@@ -25,30 +25,38 @@ from pccf.dist.sharding import shard_params_tp
 from pccf.train.runners import Trainer, TrainState
 
 
+def _tp_opt_state(tx, params: Any, mesh: Mesh, min_size: int) -> Any:
+    """Optimiser state with moments column-sharded like their parameters.
+
+    ``jit(tx.init)`` alone leaves the moments replicated: they are created by
+    ``zeros_like`` (a broadcast with no operand to propagate sharding from).
+    Optax state subtrees mirror the params tree *including key names*, so the
+    same per-leaf rule (``tp_spec``: 'kernel'/'embedding' leaves with a large
+    divisible last dim go column-parallel) places them consistently; scalar
+    counts fall to replicated.
+    """
+    opt_state = jax.jit(tx.init)(params)
+    return shard_params_tp(opt_state, mesh, min_size=min_size)
+
+
 def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
     """TrainState with column-parallel params and a matching optimiser state.
 
     The optimiser state is initialised under jit from the sharded parameters,
     so its leaves inherit the parameter layout via sharding propagation.
     """
-    from pccf.train.runners import TrainState
-
     trainer.prepare()
     params = shard_params_tp(jax.device_get(trainer.model.params), mesh, min_size=min_size)
-    opt_state = jax.jit(trainer._tx.init)(params)
+    opt_state = _tp_opt_state(trainer._tx, params, mesh, min_size)
     stats = trainer.model.batch_stats
     stats = jax.device_get(stats) if stats is not None else {}
     return TrainState(
-        params=params, batch_stats=stats, opt_state=opt_state, step=jnp.asarray(0, jnp.int32)
-    )
-
-
-def _put_dp(batch: Any, mesh: Mesh) -> Any:
-    dp = NamedSharding(mesh, P('dp'))
-    return jax.tree.map(
-        lambda x: None if x is None else jax.device_put(np.asarray(x), dp),
-        batch,
-        is_leaf=lambda x: x is None,
+        params=params,
+        batch_stats=stats,
+        opt_state=opt_state,
+        # mirror Trainer._ensure_state's bookkeeping (runners.py) so a
+        # mid-training probe state records the same logical step
+        step=jnp.asarray(trainer.model.epoch * trainer._steps_per_epoch(), jnp.int32),
     )
 
 
@@ -74,9 +82,11 @@ def tp_train_step(
     call.  For actual training on a (dp, mp) mesh use :class:`TPTrainer`,
     which persists the TP-sharded state across steps and epochs.
     """
+    from pccf.dist.mesh import shard_batch
+
     state = tp_state(trainer, mesh, min_size=min_size)
-    binputs = _put_dp(inputs, mesh)
-    btargets = _put_dp(targets, mesh)
+    binputs = shard_batch(inputs, mesh, strict=True)
+    btargets = shard_batch(targets, mesh, strict=True)
     new_state, metrics = trainer._train_fn(
         state, binputs, btargets, rng, jnp.asarray(epoch, jnp.float32)
     )
@@ -118,7 +128,7 @@ class TPTrainer(Trainer):
             params = shard_params_tp(
                 jax.device_get(self.model.params), self.mesh, min_size=self.min_size
             )
-            opt_state = jax.jit(self._tx.init)(params)
+            opt_state = _tp_opt_state(self._tx, params, self.mesh, self.min_size)
             stats = self.model.batch_stats
             if stats is not None and jax.tree.leaves(stats):
                 repl = NamedSharding(self.mesh, P())

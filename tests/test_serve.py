@@ -56,6 +56,27 @@ class TestServing:
         assert out.shape[0] == 3 and out.shape[2] == 3
         assert np.isfinite(out).all()
 
+    def test_prepack_boundary_is_deterministic(self):
+        """The first call runs the mutable=['packed'] prepack variant; later
+        calls run the plain jit with the captured collection.  Both must
+        return identical outputs for identical requests."""
+        cfg = get_config_all(TINY_OVERRIDES)
+        classifier = Model(get_classifier(cfg), name='cls_pp', seed=0)
+        classifier.initialize(Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)), train=False)
+        vqvae = Model(get_autoencoder(cfg), name='vq_pp', seed=0)
+        vqvae.initialize(
+            Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)),
+            np.zeros((1, cfg.data.dataset.n_classes), np.float32),
+            method='full_init',
+        )
+        srv = CounterfactualServer(vqvae, classifier, buckets=(2,))
+        clouds = _clouds(2, seed=9)
+        assert not srv._prepacked
+        first = srv.counterfactual(clouds, target_dim=0)
+        assert srv._prepacked
+        second = srv.counterfactual(clouds, target_dim=0)
+        np.testing.assert_array_equal(first, second)
+
     def test_oversize_batch_chunks_match_single_requests(self, server):
         clouds = _clouds(6, seed=1)
         logits = server.classify(clouds)

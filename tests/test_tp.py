@@ -183,3 +183,66 @@ class TestTensorParallel:
         # a full epoch loop over the (dp, mp) mesh also runs
         trainer.train_until(1)
         assert trainer.metrics_log and np.isfinite(trainer.metrics_log[-1]['Loss'])
+
+    def test_tp_checkpoint_restores_tp_layout(self, setup, tmp_path, monkeypatch):
+        """load_checkpoint must place the restored optimiser state with the
+        TP template's layout, not blanket-replicated (regression: replicate()
+        silently undid the column sharding — moments are 2x param bytes)."""
+        from pccf.config.experiment import Experiment
+        from pccf.train import TPTrainer
+
+        monkeypatch.setenv('ROOT_EXP_DIR', str(tmp_path / 'exp'))
+        cfg, module, _, _, inputs, targets = setup
+        cloud = np.asarray(inputs.cloud)
+
+        class _DS:
+            def __len__(self):
+                return BATCH
+
+            def __getitem__(self, i):
+                from pccf.data.structures import Inputs as I, Targets as T
+
+                return (I(cloud=cloud[i]), T(ref_cloud=cloud[i], label=np.int64(0)))
+
+        mesh2 = make_2d_mesh(8, mp=2)
+
+        def make(name_seed):
+            model = Model(module, name='tp-ckpt', seed=0)
+            model.initialize(
+                type(inputs)(cloud=cloud[:1]), np.zeros((1, 2), np.float32), method='full_init'
+            )
+            return TPTrainer(
+                model,
+                DataLoader(_DS(), BATCH),
+                get_autoencoder_loss(cfg),
+                get_learning_schema(cfg.autoencoder),
+                mesh=mesh2,
+                min_size=32,
+            )
+
+        exp = Experiment(cfg, name='tp-ckpt-test')
+        with exp.create_run():
+            trainer = make(0)
+            trainer.train_until(1)
+            trainer.save_checkpoint()
+            saved = jax.device_get(trainer.state.opt_state)
+
+            trainer2 = make(1)
+            trainer2.load_checkpoint()
+            state = trainer2.state
+            shardings = [
+                leaf.sharding
+                for leaf in jax.tree.leaves(state.opt_state)
+                if hasattr(leaf, 'sharding')
+            ]
+            assert any(not s.is_fully_replicated for s in shardings), (
+                'restored optimiser state is fully replicated — TP layout lost'
+            )
+            for a, b in zip(
+                jax.tree.leaves(saved), jax.tree.leaves(jax.device_get(state.opt_state)),
+                strict=True,
+            ):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+            # and training continues from the restored layout
+            m = trainer2.run_step(inputs, targets, rng=jax.random.key(9), epoch=1.0)
+            assert np.isfinite(m['Loss'])

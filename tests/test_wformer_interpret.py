@@ -162,5 +162,49 @@ class TestDispatchGates:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestPackedCache:
+    """Serving prepack: the 'packed' variable collection caches the fused
+    stack operands so later calls skip the per-call weight repacking."""
+
+    def _encoder(self):
+        from pccf.nn.w_networks import TransformerWEncoder
+
+        return TransformerWEncoder(
+            z1_dim=8, n_codes=256, proj_dim=128, n_heads=2,
+            mlp_dims=(256, 128), dropout_rates=(0.0, 0.0), act=gelu_exact,
+        )
+
+    def test_prepack_roundtrip_skips_repacking(self, interpret_pallas, monkeypatch):
+        import pccf.kernels.pallas_wformer as wf
+
+        enc = self._encoder()
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 256, 4)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x, train=False)
+
+        _backend(monkeypatch, 'pallas')
+        out1, mutated = enc.apply(variables, x, train=False, mutable=['packed'])
+        assert 'stack' in dict(mutated)['packed']
+
+        calls = []
+        orig = wf.pack_encoder_params
+        monkeypatch.setattr(
+            wf, 'pack_encoder_params', lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        )
+        vars_packed = {**dict(variables), 'packed': dict(mutated)['packed']}
+        out2 = enc.apply(vars_packed, x, train=False)
+        assert not calls, 'packed collection present but params were repacked'
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    def test_without_mutable_nothing_is_written(self, interpret_pallas, monkeypatch):
+        enc = self._encoder()
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((2, 256, 4)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x, train=False)
+        _backend(monkeypatch, 'pallas')
+        out = enc.apply(variables, x, train=False)  # plain apply: inline pack
+        assert np.isfinite(np.asarray(out)).all()
+
+
 if __name__ == '__main__':
     pytest.main([__file__, '-x', '-q'])
