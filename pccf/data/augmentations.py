@@ -14,9 +14,15 @@ from numpy import typing as npt
 
 
 def normalise(cloud: npt.NDArray[Any]) -> tuple[npt.NDArray[Any], float]:
-    """Center and scale to the unit sphere (augmentations.py:13-18)."""
+    """Center and scale to the unit sphere (augmentations.py:13-18).
+
+    A degenerate cloud (all points identical) has zero radius; keep it at the
+    origin instead of dividing by zero — mirrors the native assembler's guard
+    (cloud_sampler.cpp ``max_r2 > 0``)."""
     cloud = cloud - cloud.mean(axis=0)
     std = float(np.max(np.sqrt(np.sum(cloud**2, axis=1))))
+    if std == 0.0:
+        std = 1.0
     return cloud / std, std
 
 

@@ -182,16 +182,30 @@ class ModelNet40Dataset(SplitCreator):
 
         pcd_list, idx_list, label_list = [], [], []
         for h5_name in sorted(path.glob(wild)):
-            with h5py.File(h5_name, 'r+') as f:
+            # read-only first: a cached index needs no write access (the
+            # reference's unconditional 'r+' fails on read-only data dirs and
+            # races between concurrent runs, reference modelnet.py:139)
+            with h5py.File(h5_name, 'r') as f:
                 logger.info('Load: %s', h5_name)
                 pcs = np.asarray(f['data'])[:, :input_points, :].astype('float32')
                 labels = np.asarray(f['label']).astype('int64')
-                index_key = f'index_{k}'
+                # the key carries the truncation: a bare index_{k} computed
+                # at a different n_input_points holds out-of-range neighbour
+                # rows that gather would silently clamp
+                index_key = f'index_{k}_{input_points}'
+                legacy_key = f'index_{k}'
+                index = None
                 if index_key in f:
                     index = np.asarray(f[index_key]).astype(np.int16)
-                else:
-                    index = index_k_neighbours(pcs, k).astype(np.int16)
-                    f.create_dataset(index_key, data=index)
+                elif legacy_key in f and f[legacy_key].shape[1] == pcs.shape[1]:
+                    index = np.asarray(f[legacy_key]).astype(np.int16)
+            if index is None:
+                index = index_k_neighbours(pcs, k).astype(np.int16)
+                try:
+                    with h5py.File(h5_name, 'r+') as f:
+                        f.create_dataset(index_key, data=index)
+                except (OSError, ValueError) as e:  # read-only dir / concurrent writer
+                    logger.warning('could not cache %s in %s: %s', index_key, h5_name, e)
             pcd_list.append(pcs)
             idx_list.append(index)
             label_list.append(labels)

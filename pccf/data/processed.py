@@ -46,6 +46,17 @@ class ProcessedDataset:
         self.autoencoder = autoencoder
         self.dataset_len = len(dataset)
         self._jitted: dict[str, Any] = {}
+        self._base_key = jax.random.key(int(getattr(dataset, 'seed', 0)))
+        self._draws = 0
+
+    def _next_key(self) -> Array:
+        """Fresh sampling key per device pass: the stochastic derived
+        datasets must redraw CVAE sampling noise on every ``__getitems__``
+        chunk (reference processed.py:79-87 consumes torch's global RNG), or
+        every epoch would silently see identical latent noise like the
+        *Frozen* variants.  Keys are traced jit arguments — no recompiles."""
+        self._draws += 1
+        return jax.random.fold_in(self._base_key, self._draws)
 
     def __len__(self) -> int:
         return self.dataset_len
@@ -110,8 +121,12 @@ class WDatasetWithLogits(WDatasetEncoder, _ClassifierMixin):
     def __getitems__(self, idx_list: Sequence[int]) -> list[tuple[WInputs, WTargets]]:
         out: list[tuple[WInputs, WTargets]] = []
         for inputs, _labels in self._chunks(idx_list):
-            data = jax.device_get(self._encode(inputs))
-            logits = np.asarray(jax.device_get(self._logits(inputs)))
+            # dispatch both device passes before fetching either: the
+            # classifier pass overlaps the encode transfer
+            encoded = self._encode(inputs)
+            logits_dev = self._logits(inputs)
+            data = jax.device_get(encoded)
+            logits = np.asarray(jax.device_get(logits_dev))
             for w_q, w_e, logit, one_hot in zip(data.w_q, data.w_e, logits, data.one_hot_idx):
                 out.append((WInputs(w_q, logit), WTargets(w_e=w_e, one_hot_idx=one_hot, logits=logit)))
         return out
@@ -138,7 +153,7 @@ class DoubleReconstructedDatasetEncoder(ProcessedDataset):
                 variables, inp, method='double_reconstruct', rngs={'sampling': rng}
             ),
         )
-        return fn(self.autoencoder.variables, inputs, jax.random.key(0))
+        return fn(self.autoencoder.variables, inputs, self._next_key())
 
     def __getitems__(self, idx_list: Sequence[int]) -> list[tuple[Inputs, Targets]]:
         out = []
@@ -163,7 +178,7 @@ class DoubleReconstructedDatasetWithLogits(ProcessedDataset, _ClassifierMixin):
                 variables, inp, lg, method='double_reconstruct_with_logits', rngs={'sampling': rng}
             ),
         )
-        return fn(self.autoencoder.variables, inputs, logits, jax.random.key(0))
+        return fn(self.autoencoder.variables, inputs, logits, self._next_key())
 
     def __getitems__(self, idx_list: Sequence[int]) -> list[tuple[Inputs, Targets]]:
         out = []
@@ -204,7 +219,7 @@ class CounterfactualDatasetEncoder(ProcessedDataset, _ClassifierMixin):
             logits,
             np.int32(self.target_dim),
             np.float32(self.target_value),
-            jax.random.key(0),
+            self._next_key(),
         )
 
     def __getitems__(self, idx_list: Sequence[int]) -> list[tuple[Inputs, Targets]]:

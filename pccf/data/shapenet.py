@@ -42,7 +42,13 @@ class ShapenetFlowSplit(PointCloudDataset):
     never share a point — the trait the Chamfer/EMD losses rely on).
     """
 
-    def __init__(self, paths: list[pathlib.Path], cfg_data, seed: int = 0) -> None:
+    def __init__(
+        self,
+        paths: list[pathlib.Path],
+        cfg_data,
+        seed: int = 0,
+        synset_ranks: dict[str, int] | None = None,
+    ) -> None:
         self.input_points = cfg_data.n_input_points
         self.resample = cfg_data.resample
         self.augment = augment_clouds(cfg_data)
@@ -61,8 +67,11 @@ class ShapenetFlowSplit(PointCloudDataset):
             clouds.append(cloud)
             synsets.append(path.parent.parent.name)
         self.clouds = np.stack(clouds) if clouds else np.zeros((0, 0, 3), np.float32)
-        # label = rank of the synset id among those present in this split
-        rank = {s: i for i, s in enumerate(sorted(set(synsets)))}
+        # label = rank of the synset id in the DATASET-level universe when
+        # provided (a split with a missing/empty synset subfolder must not
+        # silently permute the labels of the classes it does have); the
+        # per-split fallback covers standalone construction only
+        rank = synset_ranks or {s: i for i, s in enumerate(sorted(set(synsets)))}
         self.labels = np.fromiter((rank[s] for s in synsets), dtype=np.int64, count=len(synsets))
 
     def __len__(self) -> int:
@@ -103,6 +112,8 @@ class ShapeNetDatasetFlow(SplitCreator):
                     f'none of the selected classes {sorted(wanted)} exist '
                     f'under {self.shapenet_path}'
                 )
+        # one label mapping for every split: synset rank in the selected set
+        self.synset_ranks = {d.name: i for i, d in enumerate(synset_dirs)}
         self.paths = {
             part: [
                 f
@@ -114,4 +125,9 @@ class ShapeNetDatasetFlow(SplitCreator):
         }
 
     def split(self, split: Partitions) -> ShapenetFlowSplit:
-        return ShapenetFlowSplit(self.paths[split], self.cfg.data, seed=self.cfg.user.seed or 0)
+        return ShapenetFlowSplit(
+            self.paths[split],
+            self.cfg.data,
+            seed=self.cfg.user.seed or 0,
+            synset_ranks=self.synset_ranks,
+        )

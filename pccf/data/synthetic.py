@@ -3,30 +3,35 @@
 Generates simple parametric shapes per class (sphere / box / torus /
 cylinder surfaces with deformation noise) so the full pipeline — training,
 evaluation, benchmarking — runs offline.  Same Inputs/Targets contract and
-augmentation path as the real datasets.
+augmentation path as the real datasets: the training item path (and the
+native C++ batched assembler) is inherited from
+:class:`~pccf.data.modelnet.ModelNet40Split`.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from pccf.data.augmentations import augment_clouds, jitter_cloud, normalise
-from pccf.data.protocols import Partitions, PointCloudDataset, SplitCreator
+from pccf.data.augmentations import normalise
+from pccf.data.modelnet import ModelNet40Split, index_k_neighbours
+from pccf.data.protocols import Partitions, SplitCreator
 from pccf.data.structures import Inputs, Targets
+
+_N_KINDS = 4  # sphere, box, torus, cylinder
 
 
 def _shape_cloud(rng: np.random.Generator, kind: int, n: int) -> np.ndarray:
     u = rng.random(n) * 2 * np.pi
     v = rng.random(n)
-    if kind % 4 == 0:  # sphere
+    if kind % _N_KINDS == 0:  # sphere
         phi = np.arccos(2 * v - 1)
         pts = np.stack([np.sin(phi) * np.cos(u), np.sin(phi) * np.sin(u), np.cos(phi)], 1)
-    elif kind % 4 == 1:  # box surface
+    elif kind % _N_KINDS == 1:  # box surface
         pts = rng.random((n, 3)) * 2 - 1
         face = rng.integers(0, 3, n)
         sign = rng.choice([-1.0, 1.0], n)
         pts[np.arange(n), face] = sign
-    elif kind % 4 == 2:  # torus
+    elif kind % _N_KINDS == 2:  # torus
         w = rng.random(n) * 2 * np.pi
         r, rr = 1.0, 0.35
         pts = np.stack(
@@ -38,41 +43,20 @@ def _shape_cloud(rng: np.random.Generator, kind: int, n: int) -> np.ndarray:
     return pts.astype(np.float32)
 
 
-class SyntheticSplit(PointCloudDataset):
-    def __init__(self, clouds, indices, labels, cfg_data, seed: int = 0) -> None:
-        self.pcd = clouds
-        self.indices = indices
-        self.labels = labels
-        self.input_points = cfg_data.n_input_points
-        self.resample = cfg_data.resample
-        self.augment = augment_clouds(cfg_data)
-        self.jitter = jitter_cloud(cfg_data)
-        self.rng = np.random.default_rng(seed)
-        self.seed = seed  # loaders derive their shuffle/worker streams from this
+class SyntheticSplit(ModelNet40Split):
+    """Training path = ModelNet40Split (incl. the native batched assembler);
+    inference normalises the truncated base cloud instead of assuming the
+    stored clouds are pre-normalised like the h5 archive."""
 
-    def __len__(self) -> int:
-        return len(self.pcd)
-
-    def __getitem__(self, index: int):
-        np_cloud = self.pcd[index]
-        label = np.int64(self.labels[index])
+    def __getitem__(self, index: int) -> tuple[Inputs, Targets]:
         if not self.inference:
-            rng = self.rng
-            pool = np_cloud.shape[0]
-            sampled = rng.choice(pool, size=self.input_points, replace=True)
-            cloud = normalise(np_cloud[sampled].copy())[0].astype(np.float32)
-            cloud = self.jitter(rng, cloud)
-            if self.resample:
-                sampled2 = rng.choice(pool, size=self.input_points, replace=True)
-                ref = normalise(np_cloud.copy())[0][sampled2].astype(np.float32)
-                cloud, ref = self.augment(rng, [cloud, ref])
-            else:
-                (cloud,) = self.augment(rng, [cloud])
-                ref = cloud
-            return Inputs(cloud=cloud), Targets(ref_cloud=ref, label=label)
+            return super().__getitem__(index)
+        np_cloud = self.pcd[index]
         cloud = normalise(np_cloud[: self.input_points].copy())[0].astype(np.float32)
         idx = self.indices[index] if self.indices is not None else None
-        return Inputs(cloud=cloud, indices=idx), Targets(ref_cloud=cloud, label=label)
+        return Inputs(cloud=cloud, indices=idx), Targets(
+            ref_cloud=cloud, label=np.int64(self.labels[index])
+        )
 
 
 class SyntheticDataset(SplitCreator):
@@ -82,6 +66,11 @@ class SyntheticDataset(SplitCreator):
         self.cfg = cfg
         settings = cfg.data.dataset.settings
         n_classes = cfg.data.dataset.n_classes
+        if n_classes > _N_KINDS:
+            raise ValueError(
+                f'synthetic dataset has {_N_KINDS} distinct shape kinds; '
+                f'n_classes={n_classes} would alias labels to identical shapes'
+            )
         n_train = int(settings.get('n_train', 64))
         n_test = int(settings.get('n_test', 32))
         base_points = int(settings.get('base_points', max(2048, cfg.data.n_input_points)))
@@ -98,19 +87,24 @@ class SyntheticDataset(SplitCreator):
             )
             labels = np.asarray([i % n_classes for i in range(count)], np.int64)
             self.data[part] = (clouds, labels)
+        # final-mode contract: train_val is the union of train and val, like
+        # every real dataset (shapenet _PARTITION_SOURCES, modelnet unsplit)
+        self.data[Partitions.train_val] = (
+            np.concatenate([self.data[Partitions.train][0], self.data[Partitions.val][0]]),
+            np.concatenate([self.data[Partitions.train][1], self.data[Partitions.val][1]]),
+        )
+        self._index_cache: dict[Partitions, np.ndarray] = {}
 
     def split(self, split: Partitions) -> SyntheticSplit:
-        if split == Partitions.train_val:
-            split = Partitions.train
         clouds, labels = self.data[split]
         n_in = self.cfg.data.n_input_points
         k = self.cfg.data.n_neighbors
         indices = None
         if split in (Partitions.val, Partitions.test):
-            from pccf.data.modelnet import index_k_neighbours
-
-            from pccf.data.augmentations import normalise as _norm
-
-            normed = np.stack([_norm(c[:n_in].copy())[0] for c in clouds]).astype(np.float32)
-            indices = index_k_neighbours(normed, k).astype(np.int32)
+            if split not in self._index_cache:  # one device pass per partition
+                normed = np.stack([normalise(c[:n_in].copy())[0] for c in clouds]).astype(
+                    np.float32
+                )
+                self._index_cache[split] = index_k_neighbours(normed, k).astype(np.int32)
+            indices = self._index_cache[split]
         return SyntheticSplit(clouds, indices, labels, self.cfg.data, seed=self.cfg.user.seed or 0)

@@ -68,6 +68,10 @@ def auction_emd(
     """
     b, n, _ = x1.shape
     m = x2.shape[1]
+    if n > m:
+        # with more bidders than items the auction can never fully assign:
+        # the loop would silently spin the whole iteration cap and return -1s
+        raise ValueError(f'auction_emd requires N <= M, got N={n} > M={m}')
     k = min(k_active, n) if k_active else min(max(256, n // 4), n)
     d2 = square_distance(x1, x2)  # (B, N, M)
     neg_d2 = -d2
@@ -131,7 +135,9 @@ def auction_emd(
         jnp.asarray(0, jnp.int32),
         jnp.full((b, n), -1, jnp.int32),
         jnp.full((b, m), -1, jnp.int32),
-        jnp.zeros((b, m), x1.dtype),
+        # prices must carry d2's dtype (f32 accumulation even for bf16
+        # clouds), or the while_loop carry type changes across iterations
+        jnp.zeros((b, m), d2.dtype),
     )
     _it, assignment, _owner, _price = jax.lax.while_loop(cond, body, init)
     dis = jnp.take_along_axis(d2, jnp.maximum(assignment, 0)[..., None], axis=2)[..., 0]

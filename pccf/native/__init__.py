@@ -25,7 +25,7 @@ _DIR = pathlib.Path(__file__).resolve().parent
 # version-suffixed: dlopen dedups by pathname, so a rebuilt library at the
 # SAME path would return the stale in-process mapping — bump _ABI_VERSION
 # whenever the C surface changes (keep in sync with pccf_native_version)
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 _SO = _DIR / f'_cloudbatch_v{_ABI_VERSION}.so'
 _SRC = _DIR / 'cloud_sampler.cpp'
 
@@ -34,17 +34,33 @@ _tried = False
 
 
 def _build() -> bool:
+    """Compile to a per-process temp path, then atomically move into place:
+    concurrent spawn workers can each build, but no process ever dlopens a
+    partially-written .so."""
+    tmp = _SO.with_suffix(f'.tmp{os.getpid()}.so')
     try:
         subprocess.run(
-            ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-o', str(_SO), str(_SRC), '-lpthread'],
+            ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-o', str(tmp), str(_SRC), '-lpthread'],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _SO)  # atomic on POSIX
         return True
     except Exception as e:  # pragma: no cover - toolchain-dependent
         logger.info('native build failed (%s); using numpy data path', e)
+        tmp.unlink(missing_ok=True)
         return False
+
+
+def _try_load(path: pathlib.Path) -> ctypes.CDLL | None:
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    if not hasattr(lib, 'pccf_assemble_batch_aug') or lib.pccf_native_version() != _ABI_VERSION:
+        return None
+    return lib
 
 
 def load() -> ctypes.CDLL | None:
@@ -55,18 +71,15 @@ def load() -> ctypes.CDLL | None:
     _tried = True
     if os.environ.get('PCCF_NATIVE', '1') == '0':
         return None
-    if not _SO.exists() and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(str(_SO))
-    except OSError:
+    lib = _try_load(_SO) if _SO.exists() else None
+    if lib is None:
+        # missing, unloadable, or wrong-ABI artifact: one rebuild attempt
+        # (never crash — the numpy data path is the documented fallback)
         if not _build():
             return None
-        lib = ctypes.CDLL(str(_SO))
-    if not hasattr(lib, 'pccf_assemble_batch_aug') or lib.pccf_native_version() != _ABI_VERSION:
-        # a stale build at the versioned path (shouldn't happen, but a
-        # crashed partial build could): fall back to the numpy data path
-        logger.warning('native library at %s has the wrong ABI; using numpy data path', _SO)
+        lib = _try_load(_SO)
+    if lib is None:
+        logger.warning('native library at %s unusable after rebuild; using numpy data path', _SO)
         return None
     lib.pccf_assemble_batch.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -81,7 +94,7 @@ def load() -> ctypes.CDLL | None:
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_float),
     ]
-    lib.pccf_assemble_batch.restype = None
+    lib.pccf_assemble_batch.restype = ctypes.c_int
     lib.pccf_assemble_batch_aug.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
@@ -99,9 +112,21 @@ def load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
     ]
-    lib.pccf_assemble_batch_aug.restype = None
+    lib.pccf_assemble_batch_aug.restype = ctypes.c_int
     _lib = lib
     return _lib
+
+
+def _check_rc(rc: int, clouds: np.ndarray, item_ids: np.ndarray) -> None:
+    if rc == 1:
+        raise ValueError(
+            f'item_ids out of range [0, {clouds.shape[0]}): '
+            f'min={item_ids.min(initial=0)}, max={item_ids.max(initial=0)}'
+        )
+    if rc:
+        raise ValueError(
+            f'bad batch shapes: clouds {clouds.shape}, item_ids {item_ids.shape}'
+        )
 
 
 def assemble_batch(
@@ -131,7 +156,7 @@ def assemble_batch(
     item_ids = np.ascontiguousarray(item_ids, np.int64)
     batch = item_ids.shape[0]
     out = np.empty((batch, n_out, 3), np.float32)
-    lib.pccf_assemble_batch(
+    rc = lib.pccf_assemble_batch(
         clouds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         clouds.shape[0],
         clouds.shape[1],
@@ -144,6 +169,7 @@ def assemble_batch(
         float(jitter_clip),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    _check_rc(rc, clouds, item_ids)
     return out
 
 
@@ -176,7 +202,7 @@ def assemble_batch_aug(
     batch = item_ids.shape[0]
     out = np.empty((batch, n_out, 3), np.float32)
     ref = np.empty((batch, n_out, 3), np.float32)
-    lib.pccf_assemble_batch_aug(
+    rc = lib.pccf_assemble_batch_aug(
         clouds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         clouds.shape[0],
         clouds.shape[1],
@@ -193,4 +219,5 @@ def assemble_batch_aug(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ref.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    _check_rc(rc, clouds, item_ids)
     return out, ref

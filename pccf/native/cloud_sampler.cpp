@@ -149,13 +149,25 @@ void process_item_aug(const float* cloud, int64_t n_src, int64_t n_out,
 
 extern "C" {
 
+// Validate shapes/ids before any thread touches the buffers: an id outside
+// [0, n_items) would read out of bounds silently; n_src == 0 is modulo-zero
+// UB in Rng::below.  Returns 0 on success (see pccf_assemble_* below).
+static int validate_args(int64_t n_items, int64_t n_src, const int64_t* item_ids,
+                         int64_t batch, int64_t n_out) {
+    if (n_items <= 0 || n_src <= 0 || n_out <= 0 || batch < 0) return 2;
+    for (int64_t b = 0; b < batch; ++b)
+        if (item_ids[b] < 0 || item_ids[b] >= n_items) return 1;
+    return 0;
+}
+
 // clouds: (n_items, n_src, 3) contiguous f32; item_ids: (batch,) indices
 // out: (batch, n_out, 3) preallocated f32
-void pccf_assemble_batch(const float* clouds, int64_t n_items, int64_t n_src,
-                         const int64_t* item_ids, int64_t batch, int64_t n_out,
-                         uint64_t seed, int do_jitter, float sigma, float clip,
-                         float* out) {
-    (void)n_items;
+// returns 0 ok, 1 item id out of range, 2 bad shape
+int pccf_assemble_batch(const float* clouds, int64_t n_items, int64_t n_src,
+                        const int64_t* item_ids, int64_t batch, int64_t n_out,
+                        uint64_t seed, int do_jitter, float sigma, float clip,
+                        float* out) {
+    if (int rc = validate_args(n_items, n_src, item_ids, batch, n_out)) return rc;
     int n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads < 1) n_threads = 1;
     if ((int64_t)n_threads > batch) n_threads = (int)batch;
@@ -174,17 +186,19 @@ void pccf_assemble_batch(const float* clouds, int64_t n_items, int64_t n_src,
         });
     }
     for (auto& th : pool) th.join();
+    return 0;
 }
 
 // Augmented variant: also emits the reference cloud and applies the shared
 // rotation / scale+translation augmentations.
 // out, ref: (batch, n_out, 3) preallocated f32
-void pccf_assemble_batch_aug(const float* clouds, int64_t n_items, int64_t n_src,
-                             const int64_t* item_ids, int64_t batch, int64_t n_out,
-                             uint64_t seed, int do_jitter, float sigma, float clip,
-                             int do_resample, int do_rotate, int do_translate,
-                             float* out, float* ref) {
-    (void)n_items;
+// returns 0 ok, 1 item id out of range, 2 bad shape
+int pccf_assemble_batch_aug(const float* clouds, int64_t n_items, int64_t n_src,
+                            const int64_t* item_ids, int64_t batch, int64_t n_out,
+                            uint64_t seed, int do_jitter, float sigma, float clip,
+                            int do_resample, int do_rotate, int do_translate,
+                            float* out, float* ref) {
+    if (int rc = validate_args(n_items, n_src, item_ids, batch, n_out)) return rc;
     int n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads < 1) n_threads = 1;
     if ((int64_t)n_threads > batch) n_threads = (int)batch;
@@ -203,8 +217,9 @@ void pccf_assemble_batch_aug(const float* clouds, int64_t n_items, int64_t n_src
         });
     }
     for (auto& th : pool) th.join();
+    return 0;
 }
 
-int pccf_native_version() { return 2; }
+int pccf_native_version() { return 3; }
 
 }  // extern "C"

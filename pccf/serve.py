@@ -337,7 +337,7 @@ class CounterfactualServer:
         """Serve all queued requests as one batch; returns ticket -> recon."""
         if not self._queue:
             return {}
-        queue = self._queue
+        queue = list(self._queue)  # snapshot: submits landing mid-flush stay queued
         clouds = np.stack([q[1] for q in queue])
         tdim = np.asarray([q[3] for q in queue], np.int32)
         tval = np.asarray([q[4] for q in queue], np.float32)
@@ -355,17 +355,32 @@ class CounterfactualServer:
         else:
             logits = np.stack([np.asarray(lg, np.float32) for lg in have_logits])
         recon = self.counterfactual(clouds, tdim, logits, tval, seeds)
-        self._queue = []  # drain only after success: a failed flush keeps tickets redeemable
+        # drain only the snapshot, only after success: a failed flush keeps
+        # tickets redeemable, and requests submitted concurrently with the
+        # device work stay queued for the next flush
+        self._queue = self._queue[len(queue):]
         return {q[0]: recon[i] for i, q in enumerate(queue)}
 
     # ------------------------------------------------------------- warmup
-    def warmup(self, n_points: int, n_classes: int, buckets: Sequence[int] | None = None) -> None:
-        """Eagerly compile the given (default: all) buckets."""
-        for i, b in enumerate(buckets or self.buckets):
+    def warmup(
+        self,
+        n_points: int,
+        n_classes: int,
+        buckets: Sequence[int] | None = None,
+        generate: bool = True,
+    ) -> None:
+        """Eagerly compile the given (default: all) buckets, covering every
+        production entry point: counterfactual (prepack + steady-state),
+        the classifier path when present, and (optionally) generate."""
+        for b in buckets or self.buckets:
             cloud = np.zeros((b, n_points, 3), np.float32)
             logits = np.zeros((b, n_classes), np.float32)
-            self.counterfactual(cloud, 0, logits, 1.0)
-            if i == 0:
-                # the very first call compiled the prepack variant; run the
-                # bucket again so the steady-state _gen is also compiled
+            if not self._prepacked:
+                # the first-ever call compiles the prepack variant; run the
+                # bucket again below so the steady-state _gen also compiles
                 self.counterfactual(cloud, 0, logits, 1.0)
+            self.counterfactual(cloud, 0, logits, 1.0)
+            if self._cls_module is not None:
+                self.classify(cloud)
+            if generate:
+                self.generate(b)

@@ -66,8 +66,13 @@ class DataLoader:
             prefetch, user_settings.yaml:7).  Only datasets with a pure-numpy
             item path use workers (``supports_workers``); device-backed
             derived datasets always assemble in the main process.
-        drop_last: drop the trailing partial batch (defaults True for
-            training iterators to keep jit shapes static).
+        pin_memory: accepted for drytorch call-surface parity; a no-op here
+            (host->device transfer is the runner's ``device_put``).
+        seed: shuffle/augmentation seed; defaults to the dataset's own
+            (user.seed-derived) seed.
+
+    Tail behaviour is fixed per iterator: :meth:`epoch_iterator` drops the
+    trailing partial batch (static jit shapes), :meth:`get_loader` keeps it.
     """
 
     def __init__(
@@ -114,15 +119,30 @@ class DataLoader:
             pass
 
     def __len__(self) -> int:
-        return max(1, len(self.dataset) // self.batch_size)
+        return self.n_batches(inference=False)
 
     def n_batches(self, inference: bool = False) -> int:
         n = len(self.dataset)
         if inference:
             return (n + self.batch_size - 1) // self.batch_size
-        return max(1, n // self.batch_size)
+        full = n // self.batch_size
+        if full == 0:
+            # epoch_iterator would silently yield nothing: every "epoch"
+            # would train zero steps while the epoch counter advances
+            raise ValueError(
+                f'dataset of {n} samples yields no training batches at '
+                f'batch_size={self.batch_size}; lower the batch size'
+            )
+        return full
 
-    def _fetch(self, idx_list: list[int], inference: bool) -> tuple[Any, Any]:
+    def _fetch(
+        self, idx_list: list[int], inference: bool, rng_key: tuple[int, ...] | None = None
+    ) -> tuple[Any, Any]:
+        if rng_key is not None and hasattr(self.dataset, 'rng'):
+            # same per-(seed, epoch, batch) reseed as _worker_fetch, so the
+            # augmentation stream is identical for n_workers=0 and >0 (and a
+            # resumed run sees the same data as a continuous one)
+            self.dataset.rng = np.random.default_rng(rng_key)
         if hasattr(self.dataset, 'set_inference'):
             self.dataset.set_inference(inference)
         getitems = getattr(self.dataset, '__getitems__', None)
@@ -169,8 +189,8 @@ class DataLoader:
                 yield pending.popleft().result()
             return
         if prefetch <= 0 or len(batches) <= 1:
-            for idx in batches:
-                yield self._fetch(idx, inference=False)
+            for bi, idx in enumerate(batches):
+                yield self._fetch(idx, inference=False, rng_key=(self.seed, epoch, bi))
             return
         import queue
         import threading
@@ -178,16 +198,29 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # stop-aware put: a consumer that abandons the iterator mid-epoch
+            # sets ``stop`` from its finally block, and the producer must not
+            # stay blocked in q.put() forever (thread + batch memory leak)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
-                for idx in batches:
+                for bi, idx in enumerate(batches):
                     if stop.is_set():
                         return
-                    q.put(self._fetch(idx, inference=False))
+                    if not put(self._fetch(idx, inference=False, rng_key=(self.seed, epoch, bi))):
+                        return
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

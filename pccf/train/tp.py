@@ -44,8 +44,14 @@ def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
 
     The optimiser state is initialised under jit from the sharded parameters,
     so its leaves inherit the parameter layout via sharding propagation.
+
+    Deliberately avoids ``trainer.prepare()``: that would materialise the
+    fully-replicated data-parallel TrainState (params + fresh Adam moments on
+    every device) only to discard it — doubling peak HBM on exactly the
+    models TP exists to serve.  Only the optimiser definition is needed here.
     """
-    trainer.prepare()
+    if trainer._tx is None:
+        trainer._tx = trainer._make_tx()
     params = shard_params_tp(jax.device_get(trainer.model.params), mesh, min_size=min_size)
     opt_state = _tp_opt_state(trainer._tx, params, mesh, min_size)
     stats = trainer.model.batch_stats
@@ -84,7 +90,9 @@ def tp_train_step(
     """
     from pccf.dist.mesh import shard_batch
 
-    state = tp_state(trainer, mesh, min_size=min_size)
+    state = tp_state(trainer, mesh, min_size=min_size)  # also builds trainer._tx
+    if trainer._train_fn is None:  # jitted step only — no replicated DP state
+        trainer._train_fn = trainer._build_train_step()
     binputs = shard_batch(inputs, mesh, strict=True)
     btargets = shard_batch(targets, mesh, strict=True)
     new_state, metrics = trainer._train_fn(

@@ -65,17 +65,47 @@ class CSVDumper:
             return
         key = (model, source)
         row = {'epoch': epoch, **metrics}
+        path = self.dir / f'{model}_{source}.csv'
         if key not in self._writers:
-            path = self.dir / f'{model}_{source}.csv'
+            # resume-safe: adopt the existing file's header so appended rows
+            # stay aligned; new metric names extend it via a rewrite
+            fields: list[str] = []
+            if path.exists() and path.stat().st_size > 0:
+                with open(path, newline='') as rf:
+                    fields = next(csv.reader(rf), []) or []
+            existing = list(fields)
+            fields += [f for f in row if f not in fields]
+            if existing and fields != existing:
+                self._rewrite(path, fields)
             fh = open(path, 'a', newline='')
-            fields = list(row.keys())
-            writer = csv.DictWriter(fh, fieldnames=fields, extrasaction='ignore')
+            writer = csv.DictWriter(fh, fieldnames=fields, restval='')
             if path.stat().st_size == 0:
                 writer.writeheader()
             self._writers[key] = (fh, writer, fields)
-        fh, writer, _ = self._writers[key]
+        fh, writer, fields = self._writers[key]
+        new = [f for f in row if f not in fields]
+        if new:  # a metric appeared mid-run: rewrite with the extended header
+            fields = fields + new
+            fh.close()
+            self._rewrite(path, fields)
+            fh = open(path, 'a', newline='')
+            writer = csv.DictWriter(fh, fieldnames=fields, restval='')
+            self._writers[key] = (fh, writer, fields)
         writer.writerow(row)
         fh.flush()
+
+    @staticmethod
+    def _rewrite(path: pathlib.Path, fields: list[str]) -> None:
+        """Rewrite an existing CSV under a (possibly extended) header."""
+        rows: list[dict[str, Any]] = []
+        if path.exists() and path.stat().st_size > 0:
+            with open(path, newline='') as rf:
+                rows = list(csv.DictReader(rf))
+        with open(path, 'w', newline='') as wf:
+            writer = csv.DictWriter(wf, fieldnames=fields, restval='')
+            writer.writeheader()
+            for r in rows:
+                writer.writerow({k: v for k, v in r.items() if k in fields})
 
     def stop(self) -> None:
         for fh, _, _ in self._writers.values():

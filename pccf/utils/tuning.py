@@ -92,7 +92,11 @@ class MedianPruner:
         if len(at_step) < self.n_min_trials:
             return False
         median = float(np.median(at_step))
-        value = trial.intermediate_values[step]
+        # compare the trial's BEST value so far (optuna MedianPruner
+        # semantics), not the latest — a noisy spike at the current epoch
+        # must not kill a trial whose smoothed best beats the median
+        trial_vals = [v for s, v in trial.intermediate_values.items() if s <= step]
+        value = min(trial_vals) if study.direction == 'minimize' else max(trial_vals)
         return value > median if study.direction == 'minimize' else value < median
 
 
@@ -408,19 +412,62 @@ class Study:
         )
         self.conn.commit()
 
+    def _claim_trial_number(self) -> int:
+        """Atomically allocate the next trial number.
+
+        BEGIN IMMEDIATE takes the sqlite write lock before reading
+        MAX(number), so two processes optimizing the same study (the standard
+        optuna parallelisation pattern) can never claim — and silently
+        overwrite — the same trial row."""
+        for _ in range(200):
+            try:
+                self.conn.execute('BEGIN IMMEDIATE')
+                row = self.conn.execute(
+                    'SELECT COALESCE(MAX(number), -1) + 1 FROM trials WHERE study = ?',
+                    (self.study_name,),
+                ).fetchone()
+                number = int(row[0])
+                self.conn.execute(
+                    'INSERT INTO trials VALUES (?, ?, ?, ?, ?, ?, ?, ?)',
+                    (self.study_name, number, TrialState.RUNNING, None, '{}', '{}', '{}', time.time()),
+                )
+                self.conn.commit()
+                return number
+            except sqlite3.Error:
+                self.conn.rollback()
+                time.sleep(0.01)
+        raise RuntimeError('could not claim a trial number (storage contended)')
+
     # ----------------------------------------------------------- optimise
-    def optimize(self, objective: Callable[[Trial], float], n_trials: int) -> None:
-        start = len(self.get_trials())
-        for number in range(start, start + n_trials):
+    def optimize(
+        self,
+        objective: Callable[[Trial], float],
+        n_trials: int,
+        catch: tuple[type[BaseException], ...] = (),
+    ) -> None:
+        """Run ``n_trials`` trials (optuna semantics: an exception not in
+        ``catch`` is recorded as FAIL and then PROPAGATES, halting the study
+        loudly instead of silently burning every remaining trial)."""
+        import sys
+        import traceback
+
+        for _ in range(n_trials):
+            number = self._claim_trial_number()
             trial = Trial(self, number)
             try:
                 value = objective(trial)
             except TrialPruned:
                 self._save_trial(trial, TrialState.PRUNED, None)
                 continue
-            except Exception:
+            except catch:
+                print(
+                    f'Trial {number} failed:\n{traceback.format_exc()}', file=sys.stderr
+                )
                 self._save_trial(trial, TrialState.FAIL, None)
                 continue
+            except BaseException:
+                self._save_trial(trial, TrialState.FAIL, None)
+                raise
             self._save_trial(trial, TrialState.COMPLETE, float(value))
 
     @property
@@ -618,3 +665,37 @@ def get_study_name(version: str, variation: str, tuning_scheme: str, overrides: 
     """Study naming (reference tuning.py:58-66)."""
     reprs = (ov.rsplit('.', maxsplit=1)[-1].rsplit('/', maxsplit=1)[-1] for ov in overrides)
     return '_'.join([version, variation, *reprs, tuning_scheme])
+
+
+def run_study(tuning_dir: str | pathlib.Path, set_objective, argv: list[str] | None = None) -> Study:
+    """Compose the tuning YAML, build pruner/sampler/study, and optimize.
+
+    Shared driver for the two tuning entry points (the reference duplicates
+    this block in tune_autoencoder.py:49-67 and tune_w_autoencoder.py);
+    ``set_objective(tune_cfg) -> objective(trial)`` supplies the per-script
+    trial body."""
+    import sys
+
+    from pccf.config import compose
+    from pccf.config.environment import VERSION
+
+    argv = sys.argv[1:] if argv is None else argv
+    tune_cfg = compose(pathlib.Path(tuning_dir), 'defaults', overrides=argv)
+    pathlib.Path(tune_cfg['db_location']).mkdir(parents=True, exist_ok=True)
+    t = tune_cfg['tune']
+    pruner = MedianPruner(
+        n_startup_trials=t['n_startup_trials'],
+        n_warmup_steps=t['n_warmup_steps'],
+        interval_steps=t['interval_steps'],
+        n_min_trials=t['n_min_trials'],
+    )
+    study_name = get_study_name(
+        f'v{VERSION}', 'main', t['study_name'], tune_cfg.get('overrides', [])
+    )
+    study = create_study(
+        study_name=study_name, storage=tune_cfg['storage'], pruner=pruner,
+        sampler=make_sampler(t.get('sampler', 'gp'), n_startup=t['n_startup_trials']),
+    )
+    study.optimize(set_objective(tune_cfg), n_trials=t['n_trials'])
+    visualize_study(study, pathlib.Path(tune_cfg['db_location']) / study_name)
+    return study

@@ -215,9 +215,14 @@ def write_html_viewer(
         }
         for i, (c, col) in enumerate(zip(clouds, colors))
     ]
-    html = _HTML_TEMPLATE.replace('__TITLE__', title or 'Point cloud').replace(
-        '__DATA__', json.dumps(data, separators=(',', ':'))
-    )
+    import html as _html
+
+    # escape the title (it lands in <title> and the HUD div) and break any
+    # '</script>' that a name could smuggle into the inlined JSON
+    payload = json.dumps(data, separators=(',', ':')).replace('</', '<\\/')
+    html = _HTML_TEMPLATE.replace(
+        '__TITLE__', _html.escape(title or 'Point cloud')
+    ).replace('__DATA__', payload)
     path.write_text(html)
     return path
 
@@ -241,14 +246,25 @@ def render_cloud(
     reference's interactive pyvista window).  Returns the PNG path (or the
     HTML path if no PNG was written).
     """
-    clouds = [np.asarray(c) for c in clouds if len(np.asarray(c))]
+    all_clouds = [np.asarray(c) for c in clouds]
+    # colors follow the caller's positions (blue = first/original, red =
+    # last/recon); dropping an empty cloud must not shift them, and arrows
+    # always anchor to the caller's FIRST cloud, never a filtered stand-in
+    all_colors = _cloud_colors(len(all_clouds), colorscale)
+    arrow_base = all_clouds[0] if all_clouds else None
+    keep = [i for i, c in enumerate(all_clouds) if len(c)]
+    clouds = [all_clouds[i] for i in keep]
+    colors = [all_colors[i] for i in keep]
     if not clouds:
         return None
-    colors = _cloud_colors(len(clouds), colorscale)
     radii: list[np.ndarray] = [np.asarray(point_radius) for _ in clouds]
     if arrows is not None:
         arr = np.asarray(arrows)
-        apts, arads = _arrows_to_spheres(clouds[0], arr, point_radius)
+        if len(arr) != len(arrow_base):
+            raise ValueError(
+                f'arrows ({len(arr)}) must match the first cloud ({len(arrow_base)})'
+            )
+        apts, arads = _arrows_to_spheres(arrow_base, arr, point_radius)
         clouds = list(clouds) + [apts]
         colors = colors + [RED]
         radii = radii + [arads]

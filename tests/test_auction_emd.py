@@ -87,3 +87,22 @@ class TestAuctionEMD:
         for i, j in enumerate(assignment):
             if j >= 0:
                 assert abs(dis[i] - d2[i, j]) < 1e-5
+
+    def test_bf16_clouds_supported(self):
+        """Prices carry d2's f32 dtype, so bf16 inputs must not change the
+        while_loop carry structure across iterations."""
+        x, y = _clouds(n=24)
+        dis, assignment = auction_emd(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(y, jnp.bfloat16), iters=200
+        )
+        assert np.asarray(assignment).min() >= 0  # fully assigned
+        assert np.isfinite(np.asarray(dis, np.float32)).all()
+
+    def test_n_greater_than_m_rejected(self):
+        """N > M can never fully assign; fail loudly instead of silently
+        spinning the whole iteration cap and returning -1s."""
+        import pytest
+
+        x, y = _clouds(n=32)
+        with pytest.raises(ValueError, match='N <= M'):
+            auction_emd(jnp.asarray(x), jnp.asarray(y[:, :16]))

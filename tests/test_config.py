@@ -44,6 +44,35 @@ class TestCompose:
         tree = compose(CONFIG_DIR, overrides=['classifier.model.dropout_rates.0=0.1'])
         assert tree['classifier']['model']['dropout_rates'][0] == 0.1
 
+    def test_typoed_value_override_rejected(self):
+        """Hydra strictness: a typo'd key must error, not create a junk key
+        the run silently ignores while the user believes it took effect."""
+        from pccf.config.compose import ComposeError
+
+        with pytest.raises(ComposeError, match="prefix with '\\+'"):
+            compose(CONFIG_DIR, overrides=['autoencoder.train.learn.learning_rte=0.5'])
+        # explicit additions still work
+        tree = compose(CONFIG_DIR, overrides=['+user.extra_flag=1'])
+        assert tree['user']['extra_flag'] == 1
+
+    def test_typoed_group_selection_rejected(self):
+        from pccf.config.compose import ComposeError
+
+        with pytest.raises(ComposeError, match='unknown config group'):
+            compose(CONFIG_DIR, overrides=['data/datset=shapenet'])
+
+    def test_package_global_directive(self, tmp_path):
+        """A group option file declaring '# @package _global_' merges at the
+        root instead of under its group key."""
+        (tmp_path / 'opt').mkdir()
+        (tmp_path / 'defaults.yaml').write_text('defaults:\n  - opt: a\nroot_key: 1\n')
+        (tmp_path / 'opt' / 'a.yaml').write_text('# @package _global_\ntop: 2\n')
+        tree = compose(tmp_path)
+        assert tree['top'] == 2 and 'opt' not in tree
+        (tmp_path / 'opt' / 'a.yaml').write_text('# @package some.where\ndeep: 3\n')
+        tree = compose(tmp_path)
+        assert tree['some']['where']['deep'] == 3
+
 
 class TestValidate:
     def test_full_validation(self):

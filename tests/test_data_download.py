@@ -113,7 +113,7 @@ class TestAutoDownload:
         # kNN cache written back into the downloaded h5 (reference :150-156)
         h5_path = env / 'data' / 'modelnet40_hdf5_2048' / 'ply_data_train0.h5'
         with h5py.File(h5_path, 'r') as f:
-            assert 'index_8' in f and f['index_8'].shape == (12, 64, 8)
+            assert 'index_8_64' in f and f['index_8_64'].shape == (12, 64, 8)
 
 
 class TestMultihostStagger:

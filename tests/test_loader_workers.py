@@ -87,6 +87,46 @@ class TestWorkerLoader:
             for a, b in zip(batches[0], batches[1])
         )
 
+    def test_in_process_matches_workers(self, train_dataset):
+        """n_workers=0 must produce the same augmentation stream as the
+        worker path: both reseed per (seed, epoch, batch) (regression: the
+        in-process _fetch consumed the dataset's stateful rng, so 0-worker
+        runs were irreproducible vs worker runs and across resumes)."""
+        out = {}
+        for n_workers in (0, 2):
+            loader = DataLoader(train_dataset, 4, n_workers=n_workers, seed=7)
+            try:
+                out[n_workers] = _epoch(loader, epoch=3)
+            finally:
+                loader.close()
+        for (c1, r1), (c2, r2) in zip(out[0], out[2], strict=True):
+            np.testing.assert_array_equal(c1, c2)
+            np.testing.assert_array_equal(r1, r2)
+
+    def test_abandoned_iterator_releases_producer_thread(self, train_dataset):
+        """Breaking out of a prefetched epoch mid-way must not leave the
+        producer thread blocked in q.put() forever."""
+        import threading
+        import time
+
+        loader = DataLoader(train_dataset, 2, n_workers=0)
+        before = threading.active_count()
+        it = loader.epoch_iterator(1, prefetch=1)
+        next(it)  # producer running, queue full
+        it.close()  # consumer abandons -> finally sets stop
+        for _ in range(100):
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_zero_training_batches_raises(self, train_dataset):
+        loader = DataLoader(train_dataset, batch_size=len(train_dataset) + 1)
+        with pytest.raises(ValueError, match='no training batches'):
+            loader.n_batches(inference=False)
+        # inference path still serves the partial batch
+        assert loader.n_batches(inference=True) == 1
+
     def test_device_backed_dataset_falls_back(self, train_dataset):
         class DeviceBacked:
             supports_workers = False

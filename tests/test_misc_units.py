@@ -17,7 +17,8 @@ class TestComposeEdgeCases:
         assert out['x']['y']['z'] == 3
 
     def test_typed_values(self):
-        out = apply_overrides({}, ['a=true', 'b=1e-3', 'c=[1,2]', 'd=null', 'e=text'])
+        # '+' because the keys don't pre-exist (plain overrides are strict)
+        out = apply_overrides({}, ['+a=true', '+b=1e-3', '+c=[1,2]', '+d=null', '+e=text'])
         assert out['a'] is True
         assert out['b'] == pytest.approx(1e-3)
         assert out['c'] == [1, 2]
@@ -100,6 +101,35 @@ class TestDebugUtils:
         assert not jax.config.jax_debug_nans
 
 
+class TestCSVDumper:
+    def _dumper(self, tmp_path):
+        from types import SimpleNamespace
+
+        from pccf.train.trackers import CSVDumper
+
+        d = CSVDumper()
+        d.start(SimpleNamespace(exp_dir=tmp_path))
+        return d
+
+    def test_resume_appends_aligned_rows(self, tmp_path):
+        """A resumed run must append under the EXISTING header; a new metric
+        extends the header by rewriting, never silently dropping columns."""
+        import csv as _csv
+
+        d = self._dumper(tmp_path)
+        d.log_metrics('m', 'train', 1, {'Loss': 1.0})
+        d.stop()
+        d2 = self._dumper(tmp_path)
+        d2.log_metrics('m', 'train', 2, {'Loss': 0.5, 'Chamfer': 0.2})
+        d2.log_metrics('m', 'train', 3, {'Loss': 0.4, 'Chamfer': 0.1, 'EMD': 9.0})
+        d2.stop()
+        with open(tmp_path / 'metrics' / 'm_train.csv', newline='') as fh:
+            rows = list(_csv.DictReader(fh))
+        assert [r['epoch'] for r in rows] == ['1', '2', '3']
+        assert rows[0]['Chamfer'] == '' and rows[1]['Chamfer'] == '0.2'
+        assert rows[2]['EMD'] == '9.0'  # mid-run metric not dropped
+
+
 class TestVisualization:
     def test_render_cloud_saves_png(self, tmp_path):
         from pccf.utils.visualization import render_cloud
@@ -150,6 +180,42 @@ class TestVisualization:
 
         img = plt.imread(out)
         assert img.shape == (128, 128, 4) and img[..., 3].max() == 1.0
+
+    def test_render_cloud_empty_cloud_keeps_colors_and_arrow_base(self, tmp_path):
+        """An empty cloud must not shift the blue/red color positions of the
+        remaining clouds, and arrows always anchor to the caller's FIRST
+        cloud — a mismatch fails loudly instead of mis-drawing."""
+        from pccf.utils.visualization import render_cloud
+
+        rng = np.random.default_rng(3)
+        recon = rng.standard_normal((32, 3)) * 0.3
+        empty = np.zeros((0, 3))
+        out = render_cloud(
+            (empty, recon), colorscale='blue_red', title='empty-first',
+            save_dir=tmp_path, size=64,
+        )
+        assert out is not None and out.exists()
+        import pytest
+
+        with pytest.raises(ValueError, match='first cloud'):
+            render_cloud(
+                (empty, recon), colorscale='blue_red',
+                arrows=0.1 * rng.standard_normal((32, 3)),
+                title='bad-arrows', save_dir=tmp_path, size=64,
+            )
+
+    def test_html_viewer_escapes_title(self, tmp_path):
+        from pccf.utils.visualization import write_html_viewer
+
+        cloud = np.zeros((4, 3), np.float32)
+        path = write_html_viewer(
+            [cloud], [np.array([0.1, 0.2, 0.3])],
+            'recon <eps=0.5> & </script>', tmp_path / 'esc.html',
+            names=['a</script>b'],
+        )
+        text = path.read_text()
+        assert '<eps=0.5>' not in text  # escaped in markup
+        assert '</script>b' not in text  # JSON cannot close the script tag
 
     def test_render_cloud_interactive_writes_html_viewer(self, tmp_path):
         from pccf.utils.visualization import render_cloud

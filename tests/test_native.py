@@ -182,3 +182,17 @@ class TestDatasetIntegration:
             assert np.isfinite(inp.cloud).all() and np.isfinite(tgt.ref_cloud).all()
             # resample=True: input and reference are distinct samples
             assert np.abs(inp.cloud - tgt.ref_cloud).max() > 1e-3
+
+
+class TestNativeValidation:
+    def test_out_of_range_item_id_raises(self, lib):
+        clouds = np.random.default_rng(0).standard_normal((4, 32, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match='out of range'):
+            native.assemble_batch(clouds, np.asarray([0, 4], np.int64), 16, seed=1)
+        with pytest.raises(ValueError, match='out of range'):
+            native.assemble_batch_aug(clouds, np.asarray([-1], np.int64), 16, seed=1)
+
+    def test_empty_source_cloud_raises(self, lib):
+        clouds = np.zeros((2, 0, 3), np.float32)
+        with pytest.raises(ValueError, match='bad batch shapes'):
+            native.assemble_batch(clouds, np.asarray([0], np.int64), 16, seed=1)

@@ -164,3 +164,57 @@ def test_emd_finetune_resumes_merged_checkpoint(cfg):
         )
     )
     assert enc_changed, 'fine-tune left the outer autoencoder untouched'
+
+
+def test_stage2_trains_batchnorm_inner_networks(tmp_path, monkeypatch):
+    """The shipped Convolutional/Linear inner-network options carry BatchNorm
+    (DenseBlock batch_norm=True): stage-2 must keep their batch_stats
+    collection through build_w_train_model and merge the trained statistics
+    back (regression: the rebuilt variables dict dropped batch_stats, so the
+    first Trainer step raised ScopeCollectionNotFound)."""
+    import jax
+
+    from pccf.data import Inputs
+    from pccf.models import get_autoencoder
+    from pccf.nn import get_classifier
+    from pccf.train import Model
+    from train_w_autoencoder import train_w_autoencoder
+
+    monkeypatch.setenv('ROOT_EXP_DIR', str(tmp_path / 'exp'))
+    monkeypatch.setenv('DATASET_DIR', str(tmp_path / 'data'))
+    Singleton.reset_all()
+    bn_tiny = [
+        ov
+        for ov in TINY
+        if not ov.startswith(
+            ('w_autoencoder.model.w_encoder.', 'w_autoencoder.model.w_decoder.')
+        )
+    ] + [
+        'w_autoencoder/model/w_encoder=convolutional_w_encoder',
+        'w_autoencoder.model.w_encoder.conv_dims=[8,16]',
+        'w_autoencoder.model.w_encoder.dropout_rates=[0.,0.]',
+        'w_autoencoder/model/w_decoder=linear_w_decoder',
+        'w_autoencoder.model.w_decoder.mlp_dims=[16,16]',
+        'w_autoencoder.model.w_decoder.dropout_rates=[0.,0.]',
+    ]
+    cfg = get_config_all(bn_tiny)
+    exp = Experiment(cfg, name='bn-stage2')
+    with exp.create_run(record=False):
+        classifier = Model(get_classifier(cfg), name='cls_bn', seed=0)
+        classifier.initialize(Inputs(cloud=np.zeros((1, 64, 3), np.float32)), train=False)
+        vqvae = Model(get_autoencoder(cfg), name='vq_bn', seed=0)
+        vqvae.initialize(
+            Inputs(cloud=np.zeros((1, 64, 3), np.float32)),
+            np.zeros((1, 2), np.float32),
+            method='full_init',
+        )
+        before = vqvae.variables['batch_stats']['w_autoencoder']
+        loss = train_w_autoencoder(cfg, vqvae, classifier)
+        assert loss is not None and np.isfinite(loss)
+        after = vqvae.variables['batch_stats']['w_autoencoder']
+        # trained BN statistics were merged back into the full model
+        deltas = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(jax.tree.leaves(after), jax.tree.leaves(before))
+        ]
+        assert max(deltas) > 0.0

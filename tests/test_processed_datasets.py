@@ -105,6 +105,18 @@ class TestDerivedDatasets:
         assert inp.cloud.shape == (64, 3)
         np.testing.assert_array_equal(inp.cloud, tgt.ref_cloud)
 
+    def test_stochastic_datasets_redraw_noise_per_call(self, setup):
+        """Non-Frozen derived datasets must redraw CVAE sampling noise on
+        every pass (reference processed.py:79-87 consumes torch's global
+        RNG) — not repeat one fixed key like the *Frozen* variants
+        (regression: a constant jax.random.key(0) froze every epoch's
+        latent noise)."""
+        cfg, ds, vqvae, classifier = setup
+        derived = DoubleReconstructedDatasetWithLogits(ds, vqvae, classifier)
+        a = derived.__getitems__([0])[0][0].cloud
+        b = derived.__getitems__([0])[0][0].cloud
+        assert np.abs(a - b).max() > 1e-6
+
     def test_counterfactual_and_boundary(self, setup):
         cfg, ds, vqvae, classifier = setup
         cf = CounterfactualDatasetEncoder(ds, vqvae, classifier, target_dim=1, target_value=1.0)

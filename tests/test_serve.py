@@ -151,6 +151,27 @@ class TestMicrobatching:
         assert set(results) == {t0, t1}
         assert all(np.isfinite(v).all() for v in results.values())
 
+    def test_flush_keeps_requests_submitted_while_serving(self, server, monkeypatch):
+        """A submit() landing while flush()'s device work is in flight must
+        stay queued for the next flush, not be silently discarded."""
+        clouds = _clouds(3, seed=6)
+        logits = server.classify(clouds)
+        t0 = server.submit(clouds[0], 0, logits=logits[0])
+        real_cf = server.counterfactual
+        late: list[int] = []
+
+        def cf_and_submit(*args, **kwargs):
+            out = real_cf(*args, **kwargs)
+            if not late:  # mid-flush arrival, after the queue snapshot
+                late.append(server.submit(clouds[1], 1, logits=logits[1]))
+            return out
+
+        monkeypatch.setattr(server, 'counterfactual', cf_and_submit)
+        first = server.flush()
+        assert set(first) == {t0}
+        second = server.flush()
+        assert set(second) == set(late)  # late ticket served, not dropped
+
 
 class TestGenerate:
     def test_generate_shapes_and_determinism(self, server):
@@ -240,3 +261,29 @@ class TestBF16:
         assert np.isfinite(b).all()
         # bf16 is a lossy speed mode; outputs stay in the same regime
         assert np.abs(a - b).max() < 0.3
+
+
+class TestWarmup:
+    def test_warmup_covers_all_entry_points(self):
+        """warmup() must leave counterfactual (prepacked), the classifier
+        path, and generate all compiled and serving."""
+        cfg = get_config_all(TINY_OVERRIDES)
+        classifier = Model(get_classifier(cfg), name='cls_w', seed=0)
+        classifier.initialize(Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)), train=False)
+        vqvae = Model(get_autoencoder(cfg), name='vq_w', seed=0)
+        vqvae.initialize(
+            Inputs(cloud=np.zeros((1, N_IN, 3), np.float32)),
+            np.zeros((1, cfg.data.dataset.n_classes), np.float32),
+            method='full_init',
+        )
+        srv = CounterfactualServer(vqvae, classifier, buckets=(2,))
+        srv.warmup(N_IN, cfg.data.dataset.n_classes)
+        assert srv._prepacked
+        # logits-less request rides the warmed classifier path
+        out = srv.counterfactual(_clouds(1, seed=8), 0)
+        assert out.shape == (1, out.shape[1], 3) and np.isfinite(out).all()
+        g = srv.generate(2)
+        assert g.shape[0] == 2 and np.isfinite(g).all()
+        # warmup after traffic does not reset prepack state
+        srv.warmup(N_IN, cfg.data.dataset.n_classes, generate=False)
+        assert srv._prepacked

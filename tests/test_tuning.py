@@ -40,8 +40,42 @@ class TestStudy:
         def bad(trial):
             raise RuntimeError('boom')
 
-        study.optimize(bad, n_trials=2)
+        # optuna semantics: caught exception types mark FAIL and continue
+        study.optimize(bad, n_trials=2, catch=(RuntimeError,))
         assert all(t.state == TrialState.FAIL for t in study.get_trials())
+        # an uncaught exception is recorded, then PROPAGATES (no silent
+        # burn of the remaining trials)
+        with pytest.raises(RuntimeError, match='boom'):
+            study.optimize(bad, n_trials=5)
+        trials = study.get_trials()
+        assert len(trials) == 3  # only the one attempted trial was added
+        assert trials[-1].state == TrialState.FAIL
+
+    def test_concurrent_processes_get_distinct_trial_numbers(self, tmp_path):
+        """Two studies on the same storage (the optuna parallelisation
+        pattern) must never claim — and overwrite — the same trial row."""
+        a = make_study(tmp_path)
+        b = make_study(tmp_path)
+        seen = []
+
+        def obj_a(trial):
+            seen.append(('a', trial.number))
+            # interleave: b claims its trial while a's is still running
+            b.optimize(obj_b, n_trials=1)
+            return 0.0
+
+        def obj_b(trial):
+            seen.append(('b', trial.number))
+            return 1.0
+
+        a.optimize(obj_a, n_trials=2)
+        numbers = [n for _, n in seen]
+        assert len(numbers) == len(set(numbers)) == 4
+        trials = a.get_trials()
+        assert len(trials) == 4
+        assert sorted(t.number for t in trials) == sorted(numbers)
+        # every trial's result survived (no INSERT OR REPLACE clobbering)
+        assert {t.value for t in trials} == {0.0, 1.0}
 
     def test_suggest_int_log(self, tmp_path):
         study = make_study(tmp_path)

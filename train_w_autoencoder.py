@@ -48,11 +48,26 @@ def build_w_train_model(cfg, vqvae: Model, reset: bool = True, seed: int = 0) ->
     init_logits = np.zeros((1, cfg.data.dataset.n_classes), np.float32)
     model.initialize(WInputs(init_w, init_logits), train=False)
     codebook = vqvae.params['codebook']
+    vq_stats = vqvae.variables.get('batch_stats', {})
     if reset:
         params = {'wae': model.variables['params']['wae']}
+        stats = model.variables.get('batch_stats')
     else:
         params = {'wae': vqvae.params['w_autoencoder']}
-    model.variables = {'params': params, 'constants': {'codebook': codebook}}
+        # resume the trained BN statistics along with the weights
+        stats = (
+            {'wae': vq_stats['w_autoencoder']}
+            if 'w_autoencoder' in vq_stats
+            else model.variables.get('batch_stats')
+        )
+    new_vars = {'params': params, 'constants': {'codebook': codebook}}
+    # BatchNorm-bearing inner networks (e.g. ConvolutionalWEncoder /
+    # LinearWDecoder with DenseBlock batch_norm=True) need their
+    # batch_stats collection carried over, or the first apply raises
+    # ScopeCollectionNotFound
+    if stats and jax.tree.leaves(stats):
+        new_vars['batch_stats'] = stats
+    model.variables = new_vars
     return model
 
 
@@ -65,6 +80,12 @@ def merge_back(vqvae: Model, w_model: Model) -> None:
     # tree has one uniform placement
     params['w_autoencoder'] = jax.device_get(w_model.variables['params']['wae'])
     vqvae.params = params
+    # BN statistics trained in stage 2 belong to the merged model too
+    w_stats = w_model.variables.get('batch_stats')
+    if w_stats and jax.tree.leaves(w_stats):
+        stats = dict(vqvae.variables.get('batch_stats', {}))
+        stats['w_autoencoder'] = jax.device_get(w_stats['wae'])
+        vqvae.variables = {**vqvae.variables, 'batch_stats': stats}
 
 
 def train_w_autoencoder(cfg, vqvae: Model, classifier: Model, trial: Any | None = None) -> float | None:
@@ -103,6 +124,9 @@ def train_w_autoencoder(cfg, vqvae: Model, classifier: Model, trial: Any | None 
             TrialCallback(trial, metric=loss_calc, filter_fn=get_moving_average())
         )
 
+    # reference parity (train_w_autoencoder.py:69-70): load_checkpoint=-1
+    # deliberately means "load latest, skip training, just re-test + merge";
+    # any value >= 0 trains (0 = fresh start)
     if cfg_user.load_checkpoint >= 0:
         trainer.train_until(cfg_w.train.n_epochs)
 

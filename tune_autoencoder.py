@@ -11,8 +11,7 @@ import pathlib
 import sys
 from typing import Callable
 
-from pccf.config import Experiment, compose, get_config_all
-from pccf.config.environment import VERSION
+from pccf.config import Experiment, get_config_all
 from pccf.train import ConvergenceError
 from pccf.utils import tuning
 from pccf.utils.tuning import Trial, TrialPruned, impute_failed_trial, impute_pruned_trial
@@ -26,7 +25,10 @@ def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
     def objective(trial: Trial) -> float:
         overrides = tuning.suggest_overrides(tune_cfg, trial)
         cfg = get_config_all(overrides)
-        exp = Experiment(cfg, name=cfg.name, par_dir=cfg.user.path.version_dir, tags=cfg.tags)
+        # isolate trial artifacts under 'Trial' (like tune_w_autoencoder):
+        # with name=cfg.name, every trial's final save_checkpoint would
+        # overwrite the production stage-1 checkpoint store
+        exp = Experiment(cfg, name='Trial', par_dir=cfg.user.path.version_dir, tags=overrides)
         with exp.create_run(record=False):
             try:
                 train_autoencoder(trial=trial)
@@ -41,25 +43,7 @@ def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
 
 def main(argv: list[str] | None = None) -> tuning.Study:
     argv = sys.argv[1:] if argv is None else argv
-    tune_cfg = compose(TUNING_DIR, 'defaults', overrides=argv)
-    pathlib.Path(tune_cfg['db_location']).mkdir(parents=True, exist_ok=True)
-    t = tune_cfg['tune']
-    pruner = tuning.MedianPruner(
-        n_startup_trials=t['n_startup_trials'],
-        n_warmup_steps=t['n_warmup_steps'],
-        interval_steps=t['interval_steps'],
-        n_min_trials=t['n_min_trials'],
-    )
-    study_name = tuning.get_study_name(
-        f'v{VERSION}', 'main', t['study_name'], tune_cfg.get('overrides', [])
-    )
-    study = tuning.create_study(
-        study_name=study_name, storage=tune_cfg['storage'], pruner=pruner,
-        sampler=tuning.make_sampler(t.get('sampler', 'gp'), n_startup=t['n_startup_trials']),
-    )
-    study.optimize(set_objective(tune_cfg), n_trials=t['n_trials'])
-    tuning.visualize_study(study, pathlib.Path(tune_cfg['db_location']) / study_name)
-    return study
+    return tuning.run_study(TUNING_DIR, set_objective, argv)
 
 
 if __name__ == '__main__':

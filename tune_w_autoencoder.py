@@ -12,8 +12,7 @@ import pathlib
 import sys
 from typing import Callable
 
-from pccf.config import Experiment, compose, get_config_all
-from pccf.config.environment import VERSION
+from pccf.config import Experiment, get_config_all
 from pccf.train import ConvergenceError
 from pccf.utils import tuning
 from pccf.utils.tuning import Trial, TrialPruned, impute_failed_trial, impute_pruned_trial
@@ -24,7 +23,11 @@ TUNING_DIR = pathlib.Path(__file__).resolve().parent / 'configs' / 'tuning' / 'w
 
 
 def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
-    main_cfg = get_config_all()
+    # compose the frozen outer models with the study's fixed overrides, so
+    # they match what every trial composes (suggest_overrides prepends
+    # tune_cfg['overrides'] to each trial's config) — otherwise a dataset or
+    # outer-model override would graft wrong-shaped frozen weights
+    main_cfg = get_config_all(list(tune_cfg.get('overrides', [])))
     main_exp = Experiment(main_cfg, name=main_cfg.name, par_dir=main_cfg.user.path.version_dir)
     with main_exp.create_run(resume=True, record=False):
         classifier, vqvae = load_models(main_cfg)
@@ -57,12 +60,11 @@ def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
             params.update(frozen_outer)
             new_vqvae.params = params
             try:
-                value = train_w_autoencoder(cfg, new_vqvae, classifier, trial=trial)
+                train_w_autoencoder(cfg, new_vqvae, classifier, trial=trial)
             except TrialPruned:
                 return impute_pruned_trial(trial)
             except ConvergenceError:
                 return impute_failed_trial(trial)
-        del value
         return tuning.get_final_value(trial)
 
     return objective
@@ -70,25 +72,7 @@ def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
 
 def main(argv: list[str] | None = None) -> tuning.Study:
     argv = sys.argv[1:] if argv is None else argv
-    tune_cfg = compose(TUNING_DIR, 'defaults', overrides=argv)
-    pathlib.Path(tune_cfg['db_location']).mkdir(parents=True, exist_ok=True)
-    t = tune_cfg['tune']
-    pruner = tuning.MedianPruner(
-        n_startup_trials=t['n_startup_trials'],
-        n_warmup_steps=t['n_warmup_steps'],
-        interval_steps=t['interval_steps'],
-        n_min_trials=t['n_min_trials'],
-    )
-    study_name = tuning.get_study_name(
-        f'v{VERSION}', 'main', t['study_name'], tune_cfg.get('overrides', [])
-    )
-    study = tuning.create_study(
-        study_name=study_name, storage=tune_cfg['storage'], pruner=pruner,
-        sampler=tuning.make_sampler(t.get('sampler', 'gp'), n_startup=t['n_startup_trials']),
-    )
-    study.optimize(set_objective(tune_cfg), n_trials=t['n_trials'])
-    tuning.visualize_study(study, pathlib.Path(tune_cfg['db_location']) / study_name)
-    return study
+    return tuning.run_study(TUNING_DIR, set_objective, argv)
 
 
 if __name__ == '__main__':
