@@ -122,6 +122,11 @@ class LinearWDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z1: Array, z2: Array, train: bool = False) -> Array:
+        if z1.shape[1] == 1 and z2.shape[1] != 1:
+            # prior-sampled z1 arrives (B, 1, z1_dim) (sample_z1_prior with
+            # n_pseudo_inputs=0); broadcast across codes like the
+            # transformer decoder does
+            z1 = jnp.broadcast_to(z1, (z1.shape[0], z2.shape[1], z1.shape[-1]))
         z = jnp.concatenate([z1, z2], axis=-1)  # (B, n_codes, z1+z2)
         x = z.reshape(z.shape[0], 1, -1)  # (B, 1, n_codes*(z1+z2))
         rates = list(self.dropout_rates) + [0.0] * len(self.mlp_dims)

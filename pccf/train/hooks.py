@@ -175,16 +175,38 @@ class DiscreteSpaceOptimizer:
 
         self.diagnostic.model = self.trainer.model
         self.diagnostic(store_outputs=True)
-        if not is_main_process():
+        new_codebook: np.ndarray | None = None
+        if is_main_process():
+            new_codebook = self._rewritten_codebook()
+        if jax.process_count() > 1:
+            # every process must install the SAME params: a rank-0-only
+            # rewrite would silently diverge the replicated parameters
+            # across hosts (GSPMD assumes replicated values are identical)
+            from jax.experimental import multihost_utils
+
+            current = np.asarray(
+                jax.device_get(self.trainer.model.params['codebook']), np.float32
+            )
+            flag = np.asarray(0.0 if new_codebook is None else 1.0, np.float32)
+            book = current if new_codebook is None else new_codebook.astype(np.float32)
+            flag, book = multihost_utils.broadcast_one_to_all((flag, book))
+            new_codebook = np.asarray(book) if float(flag) else None
+        if new_codebook is None:
             return
+        variables = jax.device_get(self.trainer.model.variables)
+        variables['params']['codebook'] = jax.numpy.asarray(new_codebook)
+        self.trainer.update_variables_from(variables)
+
+    def _rewritten_codebook(self) -> np.ndarray | None:
+        """Rank-0 codebook rewrite from the diagnostic's usage counts;
+        None when every entry is in use."""
         usage = np.zeros((self.n_codes, self.book_size), dtype=np.int64)
         for out in self.diagnostic.outputs_list:
             usage += np.asarray(out.one_hot_idx).sum(axis=0).astype(np.int64)
         unused = usage == 0
         if not unused.any():
-            return
-        variables = jax.device_get(self.trainer.model.variables)
-        codebook = np.array(variables['params']['codebook'])
+            return None
+        codebook = np.array(jax.device_get(self.trainer.model.params['codebook']))
         at_final = self.trainer.model.epoch == self.final_epoch
         for slot in range(self.n_codes):
             probs = usage[slot].astype(np.float64)
@@ -201,8 +223,7 @@ class DiscreteSpaceOptimizer:
                     template = codebook[slot, self.rng.choice(self.book_size, p=probs)]
                     noise = self.vq_noise * self.rng.standard_normal(codebook.shape[-1])
                     codebook[slot, entry] = template + noise.astype(codebook.dtype)
-        variables['params']['codebook'] = jax.numpy.asarray(codebook)
-        self.trainer.update_variables_from(variables)
+        return codebook
 
 
 # ------------------------------------------------------- reconstruction logs

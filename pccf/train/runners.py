@@ -122,14 +122,20 @@ class _Runner:
         return results
 
     def _log(self, metrics: dict[str, float]) -> None:
-        try:
-            exp = Experiment.current()
-        except RuntimeError:
-            return
-        for tracker in exp.trackers:
-            log = getattr(tracker, 'log_metrics', None)
-            if log:
-                log(model=self.model.name, source=self.name, epoch=self.model.epoch, metrics=metrics)
+        _dispatch_metrics(self.model.name, self.name, self.model.epoch, metrics)
+
+
+def _dispatch_metrics(model: str, source: str, epoch: int, metrics: dict[str, float]) -> None:
+    """Fan metrics out to the current experiment's trackers (shared by the
+    eval runners and the Trainer)."""
+    try:
+        exp = Experiment.current()
+    except RuntimeError:
+        return
+    for tracker in exp.trackers:
+        log = getattr(tracker, 'log_metrics', None)
+        if log:
+            log(model=model, source=source, epoch=epoch, metrics=metrics)
 
 
 class Test(_Runner):
@@ -239,12 +245,19 @@ class Trainer:
             self._tx = self._make_tx()
             params = self.model.params
             opt_state = self._tx.init(params)
+            step = self.model.epoch * self._steps_per_epoch()
+            if step:
+                # resuming from a weights-only checkpoint (no _opt sidecar):
+                # the LR schedule is driven by optax's internal count, which
+                # tx.init set to 0 — align it with the logical step or the
+                # warmup/decay schedule silently restarts from epoch 0
+                opt_state = _set_opt_counts(opt_state, step)
             batch_stats = self.model.batch_stats
             state = TrainState(
                 params=params,
                 batch_stats=batch_stats if batch_stats is not None else {},
                 opt_state=opt_state,
-                step=jnp.asarray(self.model.epoch * self._steps_per_epoch(), jnp.int32),
+                step=jnp.asarray(step, jnp.int32),
             )
             # host round-trip so the (donated) train state never aliases the
             # model's live buffers — device_put to a replicated sharding may
@@ -353,6 +366,12 @@ class Trainer:
                     binputs = shard_batch(inputs, self.mesh, strict=True)
                     btargets = shard_batch(targets, self.mesh, strict=True)
                     state, metrics = self._train_fn(state, binputs, btargets, rng, epoch_arr)
+                    # track the freshest live state every step: the train step
+                    # DONATES its input, so a stale self._state (from last
+                    # epoch) holds deleted buffers once this epoch's first
+                    # step runs — a mid-epoch failure must not sync those
+                    # into model.variables (see the finally below)
+                    self._state = state
                     step_metrics.append(metrics)
                 for host_metrics in jax.device_get(step_metrics):
                     self.objective.update_state(host_metrics, 1)
@@ -376,7 +395,10 @@ class Trainer:
                 except StopTraining:
                     break
         finally:
-            if self._state is not None:
+            if self._state is not None and not any(
+                getattr(x, 'is_deleted', lambda: False)()
+                for x in jax.tree.leaves(self._state.params)
+            ):
                 self._sync_model(self._state)
 
     def _sync_model(self, state: TrainState) -> None:
@@ -444,25 +466,53 @@ class Trainer:
             )
 
     def update_variables_from(self, variables: dict) -> None:
-        """Replace live training params (codebook hook writes)."""
+        """Replace live training params (codebook hook writes).
+
+        Each new leaf is placed with the OLD state leaf's sharding: raw host
+        arrays would change the jitted step's input layout (a full recompile
+        every hook firing, and a destroyed column-sharded layout under
+        TPTrainer)."""
         state = self._ensure_state()
+        repl = mesh_mod.replicated(self.mesh)
+
+        def _place(old, new):
+            return jax.device_put(np.asarray(jax.device_get(new)), getattr(old, 'sharding', repl))
+
+        new_stats = variables.get('batch_stats', state.batch_stats)
         self._state = TrainState(
-            params=variables['params'],
-            batch_stats=variables.get('batch_stats', state.batch_stats),
+            params=jax.tree.map(_place, state.params, variables['params']),
+            batch_stats=jax.tree.map(_place, state.batch_stats, new_stats),
             opt_state=state.opt_state,
             step=state.step,
         )
         self.model.variables = variables
 
     def _log(self, metrics: dict[str, float], source: str) -> None:
-        try:
-            exp = Experiment.current()
-        except RuntimeError:
-            return
-        for tracker in exp.trackers:
-            log = getattr(tracker, 'log_metrics', None)
-            if log:
-                log(model=self.model.name, source=source, epoch=self.model.epoch, metrics=metrics)
+        _dispatch_metrics(self.model.name, source, self.model.epoch, metrics)
+
+
+def _set_opt_counts(opt_state: Any, step: int) -> Any:
+    """Set every optax ``count`` field (schedule position, Adam bias
+    correction) to ``step`` — used when resuming without an optimiser
+    checkpoint so schedules continue from the restored epoch."""
+
+    def walk(node: Any) -> Any:
+        if hasattr(node, '_fields'):  # optax states are NamedTuples
+            return type(node)(
+                **{
+                    f: (jnp.asarray(step, jnp.int32) if f == 'count' else walk(getattr(node, f)))
+                    for f in node._fields
+                }
+            )
+        if isinstance(node, tuple):
+            return type(node)(walk(v) for v in node)
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(opt_state)
 
 
 def _traced_schedule(schedule: Callable[[float], float], epoch) -> Any:

@@ -146,3 +146,35 @@ class TestLocalCovariance:
         idx = ops.knn(x, 4)
         out = ops.get_local_covariance(x, idx)
         assert out.shape == (2, 64, 3 + 9)
+
+
+class TestLinearWDecoder:
+    def test_generate_with_prior_sampled_z1(self):
+        """Prior sampling emits z1 of shape (B, 1, z1_dim) when
+        n_pseudo_inputs=0; the grouped Linear decoder must broadcast it
+        across codes like the transformer decoder (regression: concat
+        raised a shape error on the generate path)."""
+        base = [ov for ov in BASE if not ov.startswith('w_autoencoder.model.w_decoder.')]
+        cfg = get_config_all(
+            base
+            + [
+                'data/dataset=synthetic',
+                'data.dataset.n_classes=2',
+                'w_autoencoder/model/w_decoder=linear_w_decoder',
+                'w_autoencoder.model.w_decoder.mlp_dims=[16,16]',
+                'w_autoencoder.model.w_decoder.dropout_rates=[0.,0.]',
+            ]
+        )
+        model = get_autoencoder(cfg)
+        rngs = {'params': jax.random.key(0), 'sampling': jax.random.key(1), 'dropout': jax.random.key(2)}
+        variables = model.init(
+            rngs,
+            _batch(),
+            np.zeros((2, 2), np.float32),
+            method='full_init',
+        )
+        out = model.apply(
+            variables, 2, None, 0.0, None, method='generate',
+            rngs={'sampling': jax.random.key(3)},
+        )
+        assert out.recon.shape[0] == 2 and np.isfinite(np.asarray(out.recon)).all()

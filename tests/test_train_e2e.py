@@ -155,6 +155,108 @@ class TestClassifierE2E:
             trainer2.train_until(2)
             assert model2.epoch == 2
 
+    def test_resume_weights_only_continues_lr_schedule(self, cfg):
+        """Restoring a weights-only checkpoint (no _opt sidecar) must align
+        optax's internal schedule count with the restored epoch — otherwise
+        warmup/decay silently restart from epoch 0."""
+        exp = Experiment(cfg, name='lr-resume-test')
+        with exp.create_run():
+            module = get_classifier(cfg)
+            train_ds, _ = get_datasets(cfg)
+            loader = DataLoader(train_ds, cfg.classifier.train.batch_size_per_device)
+            sample = train_ds[0]
+            init_in = type(sample[0])(cloud=np.stack([sample[0].cloud]))
+            model = Model(module, name='DGCNN-L', seed=0)
+            model.initialize(init_in, train=False)
+            loss = get_classification_loss()
+            schema = get_learning_schema(cfg.classifier)
+            trainer = Trainer(model, loader, loss, schema)
+            trainer.train_until(1)
+            model.save_state()  # weights only, no optimizer sidecar
+
+            model2 = Model(module, name='DGCNN-L', seed=0)
+            model2.initialize(init_in, train=False)
+            model2.load_state()
+            assert model2.epoch == 1
+            trainer2 = Trainer(model2, loader, loss, schema)
+            state = trainer2.state
+            steps = trainer2._steps_per_epoch()
+            counts: list[int] = []
+
+            def collect(node):
+                if hasattr(node, '_fields'):
+                    for f in node._fields:
+                        if f == 'count':
+                            counts.append(int(getattr(node, f)))
+                        else:
+                            collect(getattr(node, f))
+                elif isinstance(node, (list, tuple)):
+                    for v in node:
+                        collect(v)
+                elif isinstance(node, dict):
+                    for v in node.values():
+                        collect(v)
+
+            collect(state.opt_state)
+            assert counts and all(c == steps for c in counts)
+
+    def test_update_variables_from_keeps_placement(self, cfg):
+        """Host-numpy variables installed by the codebook hook must come back
+        with the old state leaves' sharding (no layout change, no recompile)."""
+        exp = Experiment(cfg, name='placement-test')
+        with exp.create_run():
+            module = get_classifier(cfg)
+            train_ds, _ = get_datasets(cfg)
+            loader = DataLoader(train_ds, cfg.classifier.train.batch_size_per_device)
+            sample = train_ds[0]
+            model = Model(module, name='DGCNN-P', seed=0)
+            model.initialize(type(sample[0])(cloud=np.stack([sample[0].cloud])), train=False)
+            trainer = Trainer(
+                model, loader, get_classification_loss(), get_learning_schema(cfg.classifier)
+            )
+            before = trainer.state
+            old_shardings = [x.sharding for x in jax.tree.leaves(before.params)]
+            host_vars = jax.device_get(model.variables)  # all-numpy tree
+            trainer.update_variables_from(host_vars)
+            after = trainer.state
+            new_leaves = jax.tree.leaves(after.params)
+            assert all(
+                isinstance(x, jax.Array) and x.sharding == s
+                for x, s in zip(new_leaves, old_shardings)
+            )
+
+    def test_mid_epoch_failure_keeps_model_usable(self, cfg):
+        """A failure inside the epoch loop must leave model.variables holding
+        live (not donated/deleted) buffers from the last completed step."""
+        exp = Experiment(cfg, name='midfail-test')
+        with exp.create_run():
+            module = get_classifier(cfg)
+            train_ds, _ = get_datasets(cfg)
+            loader = DataLoader(train_ds, cfg.classifier.train.batch_size_per_device)
+            sample = train_ds[0]
+            model = Model(module, name='DGCNN-F', seed=0)
+            model.initialize(type(sample[0])(cloud=np.stack([sample[0].cloud])), train=False)
+            trainer = Trainer(
+                model, loader, get_classification_loss(), get_learning_schema(cfg.classifier)
+            )
+            trainer.train_until(1)
+
+            real_iter = loader.epoch_iterator
+
+            def failing_iter(epoch, **kw):
+                it = real_iter(epoch, **kw)
+                yield next(it)  # one donating step runs
+                raise RuntimeError('simulated mid-epoch failure')
+
+            loader.epoch_iterator = failing_iter
+            with pytest.raises(RuntimeError, match='mid-epoch'):
+                trainer.train_until(3)
+            loader.epoch_iterator = real_iter
+            # the model's params are intact and usable
+            leaves = jax.tree.leaves(model.params)
+            assert all(not getattr(x, 'is_deleted', lambda: False)() for x in leaves)
+            assert np.isfinite(np.asarray(leaves[0])).all()
+
     def test_lr_schedule_applied(self):
         # default config: cosine over 45 epochs (interpolated) from 0.01
         default_cfg = get_config_all()
