@@ -24,7 +24,10 @@ def _use_pallas() -> bool:
         return True
     if mode == 'jnp':
         return False
-    return jax.default_backend() not in ('cpu',)
+    # allowlist, not "anything but cpu": a GPU/Metal jax would crash in the
+    # Mosaic TPU lowering where the jnp fallback works ('axon' is the
+    # experimental remote-TPU platform this machine tunnels through)
+    return jax.default_backend() in ('tpu', 'axon')
 
 
 def use_pallas() -> bool:
@@ -35,9 +38,10 @@ def use_pallas() -> bool:
 def chamfer(x: Array, y: Array, reduction: str = 'mean') -> Array:
     """Chamfer distance ``(B,)`` — Pallas on TPU, jnp elsewhere."""
     if _use_pallas() and x.shape[1] % 256 == 0 and y.shape[1] % 256 == 0:
-        from pccf.kernels.pallas_chamfer import chamfer_tpu
+        from pccf.kernels.pallas_chamfer import chamfer_fits_vmem, chamfer_tpu
 
-        return chamfer_tpu(x, y, reduction)
+        if chamfer_fits_vmem(x.shape[1], y.shape[1]):
+            return chamfer_tpu(x, y, reduction)
     return ops.chamfer(x, y, reduction=reduction)
 
 
@@ -75,9 +79,10 @@ def knn(x: Array, k: int, *, approx: bool = False) -> Array:
     if approx:
         return ops.knn(x, k, approx=True)
     if _use_pallas() and k <= 128 and x.shape[1] >= 128:
-        from pccf.kernels.pallas_knn import knn_tpu
+        from pccf.kernels.pallas_knn import knn_fits_vmem, knn_tpu
 
-        return knn_tpu(x, k)
+        if knn_fits_vmem(x.shape[1]):
+            return knn_tpu(x, k)
     return ops.knn(x, k)
 
 
@@ -123,7 +128,8 @@ def graph_filtering(x: Array, k: int = 4) -> Array:
 def nn_distance(x: Array, y: Array):
     """Bidirectional NN distances (dist1, idx1, dist2, idx2)."""
     if _use_pallas() and x.shape[1] % 256 == 0 and y.shape[1] % 256 == 0:
-        from pccf.kernels.pallas_chamfer import nn_distance_tpu
+        from pccf.kernels.pallas_chamfer import chamfer_fits_vmem, nn_distance_tpu
 
-        return nn_distance_tpu(x, y)
+        if chamfer_fits_vmem(x.shape[1], y.shape[1]):
+            return nn_distance_tpu(x, y)
     return ops.nn_distance(x, y)

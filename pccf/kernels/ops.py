@@ -106,12 +106,41 @@ def edge_features(x: Array, idx: Array) -> Array:
     return jnp.concatenate([neigh - centers, centers], axis=-1)
 
 
+@jax.custom_vjp
 def graph_max_pool(x: Array, idx: Array) -> Array:
     """Max over the k neighbours of each point: ``(B, N, C)``.
 
     Reference: ``graph_max_pooling`` (neighbour_ops.py:106-110).
+
+    Backward routes each cotangent to the FIRST maximal neighbour (torch
+    ``max`` semantics, which the reference trains with — and what the Pallas
+    kernel's argmax-scatter backward implements), not jax ``reduce_max``'s
+    even split among ties; gradients therefore match across backends even on
+    exactly duplicated points.
     """
     return jnp.max(gather_neighbors(x, idx), axis=2)
+
+
+def _gmp_fwd(x: Array, idx: Array):
+    gathered = gather_neighbors(x, idx)  # (B, N, k, C)
+    arg = jnp.argmax(gathered, axis=2)  # (B, N, C): first max along k
+    return jnp.max(gathered, axis=2), (idx, arg)
+
+
+def _gmp_bwd(res, g):
+    idx, arg = res
+    # source row per (b, n, c): the winning slot's neighbour index
+    src = jnp.take_along_axis(idx[..., None], arg[:, :, None, :], axis=2)[:, :, 0, :]
+    # x is (B, N, C) with idx into its own axis 1 (self-graph), so the
+    # primal shape/dtype are recoverable from the residual arrays + cotangent
+    shape = (idx.shape[0], idx.shape[1], arg.shape[-1])
+    b_i = jnp.arange(shape[0])[:, None, None]
+    c_i = jnp.arange(shape[2])[None, None, :]
+    gx = jnp.zeros(shape, g.dtype).at[b_i, src, c_i].add(g)
+    return gx, None
+
+
+graph_max_pool.defvjp(_gmp_fwd, _gmp_bwd)
 
 
 def interleave_residual(x: Array, out_features: int) -> Array:
@@ -236,6 +265,15 @@ def chamfer(x: Array, y: Array, *, reduction: str = 'mean') -> Array:
 # ---------------------------------------------------------------------------
 
 
+def emd_marginal_multipliers(n: int, m: int) -> tuple[float, float]:
+    """ApproxMatch marginal multipliers via C-int division
+    (approxmatch.cu:6-12) — shared by the golden matchers and the fused
+    Pallas kernel so the edge-case semantics can never desynchronise."""
+    if n >= m:
+        return 1.0, float(n // m)
+    return float(m // n), 1.0
+
+
 def approx_match(x1: Array, x2: Array) -> Array:
     """Approximate optimal-transport plan between two clouds.
 
@@ -251,11 +289,7 @@ def approx_match(x1: Array, x2: Array) -> Array:
     """
     n = x1.shape[1]
     m = x2.shape[1]
-    # C-int division as in approxmatch.cu:6-12.
-    if n >= m:
-        mult_l, mult_r = 1.0, float(n // m)
-    else:
-        mult_l, mult_r = float(m // n), 1.0
+    mult_l, mult_r = emd_marginal_multipliers(n, m)
 
     d = square_distance(x1, x2)  # (B, N, M)
 
@@ -357,10 +391,7 @@ def sinkhorn_match(
     """
     b, n, _ = x1.shape
     m = x2.shape[1]
-    if n >= m:
-        mult_l, mult_r = 1.0, float(n // m)
-    else:
-        mult_l, mult_r = float(m // n), 1.0
+    mult_l, mult_r = emd_marginal_multipliers(n, m)
     d2 = square_distance(x1, x2)
     k = jnp.exp(-(d2 - jnp.min(d2, axis=2, keepdims=True)) / eps)
 

@@ -61,12 +61,31 @@ def _nn_both_kernel(x_ref, y_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, n: 
     jax.lax.fori_loop(0, n_tiles, tile_body, None)
 
 
+def chamfer_fits_vmem(n: int, m: int) -> bool:
+    """Conservative VMEM bound for the fused scan: both clouds (+ the
+    transposed y) stay resident and each inner step materialises a
+    (_TILE_N, M) f32 distance tile plus min/argmin transients — gate against
+    the default ~16 MB scoped VMEM with headroom (the flagship
+    n = m = 2048 uses ~3.3 MB)."""
+    tile = _TILE_N * m * 4 * 3
+    resident = (n + 2 * m) * 4 * 4 + (n + m) * 8
+    return tile + resident <= 12 * 2**20
+
+
+@jax.custom_vjp
 def nn_distance_tpu(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
     """Pallas TPU version of :func:`pccf.kernels.ops.nn_distance`.
 
     dist1/idx1: nearest y for each x; dist2/idx2: nearest x for each y —
-    both directions from one pass over the distance tiles.
+    both directions from one pass over the distance tiles.  Differentiable
+    like the golden (analytic distance gradients, indices held constant) —
+    without the VJP the dispatched op would silently change from
+    differentiable to not by backend.
     """
+    return _nn_distance_raw(x, y)
+
+
+def _nn_distance_raw(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
     b, n, c = x.shape
     m = y.shape[1]
     pad_n = (-n) % _TILE_N
@@ -100,6 +119,28 @@ def nn_distance_tpu(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
         ),
     )(xp, y, jnp.swapaxes(y, 1, 2))
     return d1[:, :n, 0], i1[:, :n, 0], d2[:, 0, :], i2[:, 0, :]
+
+
+def _nnd_fwd(x, y):
+    out = _nn_distance_raw(x, y)
+    return out, (x, y, out[1], out[3])
+
+
+def _nnd_bwd(res, g):
+    # d1_i = ||x_i - y[i1_i]||², d2_j = ||y_j - x[i2_j]||²; indices constant
+    # (Danskin) — identical to the golden ops.nn_distance gradients.
+    x, y, i1, i2 = res
+    g1, _, g2, _ = g  # idx cotangents are symbolic zeros
+    ny = jnp.take_along_axis(y, i1[..., None], axis=1)  # (B, N, C)
+    nx = jnp.take_along_axis(x, i2[..., None], axis=1)  # (B, M, C)
+    gx1 = 2.0 * (x - ny) * g1[..., None]
+    gy2 = 2.0 * (y - nx) * g2[..., None]
+    gy1 = jnp.zeros_like(y).at[jnp.arange(y.shape[0])[:, None], i1].add(-gx1)
+    gx2 = jnp.zeros_like(x).at[jnp.arange(x.shape[0])[:, None], i2].add(-gy2)
+    return gx1 + gx2, gy1 + gy2
+
+
+nn_distance_tpu.defvjp(_nnd_fwd, _nnd_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -212,10 +212,9 @@ def _emd_forward_and_grads(x1: Array, x2: Array) -> tuple[Array, Array, Array]:
     m = x2.shape[1]
     if n % _TILE:
         raise ValueError(f'n must be a multiple of {_TILE}, got {n}')
-    if n >= m:
-        mult_l, mult_r = 1.0, float(n // m)
-    else:
-        mult_l, mult_r = float(m // n), 1.0
+    from pccf.kernels.ops import emd_marginal_multipliers
+
+    mult_l, mult_r = emd_marginal_multipliers(n, m)
 
     kernel = functools.partial(_emd_kernel, n=n, m=m, mult_l=mult_l, mult_r=mult_r)
     cost, grad1, grad2 = pl.pallas_call(

@@ -36,36 +36,40 @@ def gather_pool_supported(n: int, c: int) -> bool:
     return n % _TILE_N == 0 and n * c * 4 * 3 <= _VMEM_BUDGET
 
 
-import os
+def _unroll() -> int:
+    """Independent rows per loop step: overlaps the dynamic-row loads (the
+    per-row max chain is latency-bound; 4-way row ILP measured ~1.5-2x).
+    PCCF_POOL_UNROLL overrides for on-chip A/B — read at TRACE time (not
+    module import), so a probe that changes the knob and rebuilds its jit
+    actually measures the new value; clamped to the nearest power-of-two
+    divisor of _TILE_N (a non-divisor unroll would leave tail rows of each
+    output tile unwritten)."""
+    import os
 
-# independent rows per loop step: overlaps the dynamic-row loads (the
-# per-row max chain is latency-bound; 4-way row ILP measured ~1.5-2x).
-# PCCF_POOL_UNROLL overrides for on-chip A/B; clamped to the nearest
-# power-of-two divisor of _TILE_N (a non-divisor unroll would leave tail
-# rows of each output tile unwritten).
-_UNROLL = max(1, int(os.environ.get('PCCF_POOL_UNROLL', '4')))
-while _TILE_N % _UNROLL:
-    _UNROLL //= 2
+    u = max(1, int(os.environ.get('PCCF_POOL_UNROLL', '4')))
+    while _TILE_N % u:
+        u //= 2
+    return u
 
 
-def _pool_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int):
+def _pool_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int, unroll: int):
     def body(i0, _):
-        for u in range(_UNROLL):
-            i = i0 * _UNROLL + u
+        for u in range(unroll):
+            i = i0 * unroll + u
             row = x_ref[pl.ds(idx_ref[i, 0], 1), :]
             for j in range(1, k):
                 row = jnp.maximum(row, x_ref[pl.ds(idx_ref[i, j], 1), :])
             out_ref[pl.ds(i, 1), :] = row
         return _
 
-    jax.lax.fori_loop(0, tile // _UNROLL, body, None)
+    jax.lax.fori_loop(0, tile // unroll, body, None)
 
 
 def _pool_forward(x: Array, idx: Array) -> Array:
     b, n, c = x.shape
     k = idx.shape[-1]
     return pl.pallas_call(
-        functools.partial(_pool_kernel, tile=_TILE_N, k=k),
+        functools.partial(_pool_kernel, tile=_TILE_N, k=k, unroll=_unroll()),
         grid=(b, n // _TILE_N),
         in_specs=[
             pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
@@ -79,14 +83,14 @@ def _pool_forward(x: Array, idx: Array) -> Array:
     )(idx.astype(jnp.int32), x)
 
 
-def _pool_src_kernel(idx_ref, x_ref, out_ref, src_ref, *, tile: int, k: int):
+def _pool_src_kernel(idx_ref, x_ref, out_ref, src_ref, *, tile: int, k: int, unroll: int):
     """Max-pool that also records the argmax *source row* per channel, so the
     backward is a pure scatter (no (B, N, k, C) re-gather).  Ties keep the
     earliest neighbour slot, matching ``argmax``-first semantics."""
 
     def body(i0, _):
-        for u in range(_UNROLL):
-            i = i0 * _UNROLL + u
+        for u in range(unroll):
+            i = i0 * unroll + u
             row = x_ref[pl.ds(idx_ref[i, 0], 1), :]
             src = jnp.full(row.shape, idx_ref[i, 0], jnp.int32)
             for j in range(1, k):
@@ -98,7 +102,7 @@ def _pool_src_kernel(idx_ref, x_ref, out_ref, src_ref, *, tile: int, k: int):
             src_ref[pl.ds(i, 1), :] = src
         return _
 
-    jax.lax.fori_loop(0, tile // _UNROLL, body, None)
+    jax.lax.fori_loop(0, tile // unroll, body, None)
 
 
 def _pool_src_forward(x: Array, idx: Array) -> tuple[Array, Array]:
@@ -106,7 +110,7 @@ def _pool_src_forward(x: Array, idx: Array) -> tuple[Array, Array]:
     k = idx.shape[-1]
     spec = pl.BlockSpec((None, _TILE_N, c), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_pool_src_kernel, tile=_TILE_N, k=k),
+        functools.partial(_pool_src_kernel, tile=_TILE_N, k=k, unroll=_unroll()),
         grid=(b, n // _TILE_N),
         in_specs=[
             pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
@@ -144,24 +148,24 @@ def _pool_bwd(res, g):
 graph_max_pool_tpu.defvjp(_pool_fwd, _pool_bwd)
 
 
-def _sum_pool_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int):
+def _sum_pool_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int, unroll: int):
     def body(i0, _):
-        for u in range(_UNROLL):
-            i = i0 * _UNROLL + u
+        for u in range(unroll):
+            i = i0 * unroll + u
             row = x_ref[pl.ds(idx_ref[i, 0], 1), :]
             for j in range(1, k):
                 row = row + x_ref[pl.ds(idx_ref[i, j], 1), :]
             out_ref[pl.ds(i, 1), :] = row
         return _
 
-    jax.lax.fori_loop(0, tile // _UNROLL, body, None)
+    jax.lax.fori_loop(0, tile // unroll, body, None)
 
 
 def _sum_pool_forward(x: Array, idx: Array) -> Array:
     b, n, c = x.shape
     k = idx.shape[-1]
     return pl.pallas_call(
-        functools.partial(_sum_pool_kernel, tile=_TILE_N, k=k),
+        functools.partial(_sum_pool_kernel, tile=_TILE_N, k=k, unroll=_unroll()),
         grid=(b, n // _TILE_N),
         in_specs=[
             pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
@@ -196,22 +200,22 @@ def _sum_pool_bwd(res, g):
 graph_sum_pool_tpu.defvjp(_sum_pool_fwd, _sum_pool_bwd)
 
 
-def _gather_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int):
+def _gather_kernel(idx_ref, x_ref, out_ref, *, tile: int, k: int, unroll: int):
     def body(i0, _):
-        for u in range(_UNROLL):
-            i = i0 * _UNROLL + u
+        for u in range(unroll):
+            i = i0 * unroll + u
             for j in range(k):
                 out_ref[j, pl.ds(i, 1), :] = x_ref[pl.ds(idx_ref[i, j], 1), :]
         return _
 
-    jax.lax.fori_loop(0, tile // _UNROLL, body, None)
+    jax.lax.fori_loop(0, tile // unroll, body, None)
 
 
 def _gather_forward(x: Array, idx: Array) -> Array:
     b, n, c = x.shape
     k = idx.shape[-1]
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, tile=_TILE_N, k=k),
+        functools.partial(_gather_kernel, tile=_TILE_N, k=k, unroll=_unroll()),
         grid=(b, n // _TILE_N),
         in_specs=[
             pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),

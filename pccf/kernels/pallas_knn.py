@@ -35,18 +35,16 @@ _TILE = 128
 _BIG = 1e30
 
 
-def _cross_bf16x3(a: Array, b: Array) -> Array:
+def _cross_bf16x3(a: Array, b: Array, bf16_fast: bool = False) -> Array:
     """a @ b^T at ~f32 accuracy via three bf16 MXU passes (Mosaic has no
     HIGH-precision lowering; full HIGHEST emulation costs twice as much).
 
-    ``PCCF_KNN_MXU=bf16`` opts into a single bf16 pass (~1e-2 relative
-    error): neighbour selection may flip on near-ties, so it is an
-    explicitly-requested speed mode, never the default."""
-    import os
-
+    ``bf16_fast`` (``PCCF_KNN_MXU=bf16``) opts into a single bf16 pass
+    (~1e-2 relative error): neighbour selection may flip on near-ties, so it
+    is an explicitly-requested speed mode, never the default."""
     dims = (((1,), (1,)), ((), ()))
     dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims, preferred_element_type=jnp.float32)
-    if os.environ.get('PCCF_KNN_MXU') == 'bf16':
+    if bf16_fast:
         return dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
 
     def split(v):
@@ -59,7 +57,33 @@ def _cross_bf16x3(a: Array, b: Array) -> Array:
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
-def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
+def _env_group() -> int:
+    """Interleave depth from the A/B env knobs (read OUTSIDE any jit trace:
+    baked-in env reads would make mid-process knob changes silently no-ops)."""
+    import os
+
+    group = 1 if os.environ.get('PCCF_KNN_NO_PAIR') else int(os.environ.get('PCCF_KNN_GROUP', '2'))
+    return max(1, group)
+
+
+def _env_bf16() -> bool:
+    import os
+
+    return os.environ.get('PCCF_KNN_MXU') == 'bf16'
+
+
+def knn_fits_vmem(n: int) -> bool:
+    """Conservative working-set bound: per interleaved chain, the distance
+    construction holds ~3 live (N, 128) f32 tiles plus the 8 sorted key
+    stacks (another (N, 128)); gate against the default ~16 MB scoped VMEM
+    with headroom (the flagship n=2048 uses ~2.5 MB)."""
+    pad_n = n + ((-n) % _TILE)
+    group = _env_group()
+    return (group + 3) * pad_n * _TILE * 4 <= 12 * 2**20
+
+
+def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int,
+                group: int, bf16_fast: bool):
     """One batch element: k smallest squared distances per centre (self kNN).
 
     Packed-key extraction: non-negative f32 bit patterns are order-monotone
@@ -111,7 +135,7 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
         sorted stacks and the slot-0 output list."""
         xt = x_ref[pl.ds(t * _TILE, _TILE), :]  # (T, C) centres
         xt_sq = jnp.sum(xt * xt, axis=-1)[None, :]  # (1, T)
-        cross = _cross_bf16x3(x, xt)  # (N, T): candidate-major
+        cross = _cross_bf16x3(x, xt, bf16_fast)  # (N, T): candidate-major
         d = x_sq - 2.0 * cross + xt_sq
         centres = lane_ids + t * _TILE
         # mask padded candidates AND (for the shortcut) the self diagonal
@@ -135,14 +159,10 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
             q[i] = jnp.where(hit, q[i + 1], q[i])
         q[7] = jnp.where(hit, int_max, q[7])
 
-    import os
-
     # Interleave depth: how many independent centre-tile extraction chains
     # run per loop step (the serial min->hit->promote chain is latency-bound;
-    # interleaving lets the VPU overlap them).  PCCF_KNN_GROUP overrides for
-    # on-chip A/B; PCCF_KNN_NO_PAIR forces 1 (legacy knob).
-    group = 1 if os.environ.get('PCCF_KNN_NO_PAIR') else int(os.environ.get('PCCF_KNN_GROUP', '2'))
-    group = max(1, group)  # guard: group=0 would loop n_tiles % 0 below
+    # interleaving lets the VPU overlap them).  The value arrives as a static
+    # kernel parameter (read from the env by the knn_tpu wrapper).
     while n_tiles % group:
         group //= 2
 
@@ -159,11 +179,19 @@ def _knn_kernel(x_ref, idx_ref, *, n: int, k: int, valid_n: int, idx_bits: int):
     jax.lax.fori_loop(0, n_tiles // group, tile_body, None)
 
 
-@functools.partial(jax.jit, static_argnames=('k',))
 def knn_tpu(x: Array, k: int) -> Array:
     """Exact self-kNN indices ``(B, N, k)`` via the fused Pallas kernel.
 
-    Neighbour indices carry no gradient (the reference likewise treats the
+    The A/B env knobs (PCCF_KNN_GROUP / PCCF_KNN_NO_PAIR / PCCF_KNN_MXU) are
+    read here, OUTSIDE the jit trace, and passed as static arguments — so
+    changing them mid-process retraces instead of silently reusing the old
+    kernel."""
+    return _knn_tpu_impl(x, k=k, group=_env_group(), bf16_fast=_env_bf16())
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'group', 'bf16_fast'))
+def _knn_tpu_impl(x: Array, k: int, group: int, bf16_fast: bool) -> Array:
+    """Neighbour indices carry no gradient (the reference likewise treats the
     graph as non-differentiable); the input is detached so autodiff never
     tries to linearize through the pallas_call."""
     x = jax.lax.stop_gradient(x)
@@ -172,7 +200,9 @@ def knn_tpu(x: Array, k: int) -> Array:
     xp = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0))) if pad_n else x
     np_ = xp.shape[1]
     idx_bits = max(1, (np_ - 1).bit_length())
-    kernel = functools.partial(_knn_kernel, n=np_, k=k, valid_n=n, idx_bits=idx_bits)
+    kernel = functools.partial(
+        _knn_kernel, n=np_, k=k, valid_n=n, idx_bits=idx_bits, group=group, bf16_fast=bf16_fast
+    )
     idx = pl.pallas_call(
         kernel,
         grid=(b,),

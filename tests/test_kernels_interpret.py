@@ -193,3 +193,71 @@ class TestPCGenFusedInterpret:
 
 if __name__ == '__main__':
     pytest.main([__file__, '-x', '-q'])
+
+
+class TestGradSemantics:
+    def test_max_pool_tie_gradients_match_golden(self, interpret_pallas):
+        """On exactly duplicated points the golden and the kernel both route
+        the cotangent to the FIRST maximal neighbour (torch max semantics) —
+        backend-identical training gradients even on ties."""
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_gather import graph_max_pool_tpu
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1, 256, 8)).astype(np.float32)
+        x[0, 7] = x[0, 3]  # exact duplicate rows -> tied maxima
+        x = jnp.asarray(x)
+        idx = jnp.asarray(
+            np.stack([rng.integers(0, 256, (256, 4)) for _ in range(1)]).astype(np.int32)
+        )
+        idx = idx.at[0, 0].set(jnp.asarray([3, 7, 3, 7]))  # guaranteed tie
+
+        def loss_g(fn):
+            return jax.grad(lambda v: jnp.sum(fn(v, idx) * 1.7))(x)
+
+        g_golden = np.asarray(loss_g(ops.graph_max_pool))
+        g_kernel = np.asarray(loss_g(graph_max_pool_tpu))
+        np.testing.assert_allclose(g_golden, g_kernel, atol=1e-6)
+
+    def test_nn_distance_tpu_is_differentiable(self, interpret_pallas):
+        """The dispatched nn_distance must be differentiable on every
+        backend; kernel grads match the golden's analytic gradients."""
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_chamfer import nn_distance_tpu
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((2, 256, 3)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((2, 256, 3)).astype(np.float32))
+
+        def loss(fn, a, b):
+            d1, _, d2, _ = fn(a, b)
+            return jnp.sum(d1) + 0.5 * jnp.sum(d2)
+
+        gx_k, gy_k = jax.grad(functools.partial(loss, nn_distance_tpu), argnums=(0, 1))(x, y)
+        gx_g, gy_g = jax.grad(functools.partial(loss, ops.nn_distance), argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_g), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gy_k), np.asarray(gy_g), atol=1e-4)
+
+
+class TestDispatchGates:
+    def test_vmem_fit_gates(self):
+        from pccf.kernels.pallas_chamfer import chamfer_fits_vmem
+        from pccf.kernels.pallas_knn import knn_fits_vmem
+
+        assert knn_fits_vmem(2048)  # flagship
+        assert not knn_fits_vmem(1 << 17)  # would blow scoped VMEM
+        assert chamfer_fits_vmem(2048, 2048)
+        assert not chamfer_fits_vmem(2048, 1 << 16)
+
+    def test_knn_env_knobs_apply_per_call(self, interpret_pallas, monkeypatch):
+        """PCCF_KNN_GROUP changes must retrace (static arg), not silently
+        reuse the kernel baked at first call."""
+        from pccf.kernels.pallas_knn import knn_tpu
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32))
+        monkeypatch.setenv('PCCF_KNN_GROUP', '1')
+        a = np.asarray(knn_tpu(x, 5))
+        monkeypatch.setenv('PCCF_KNN_GROUP', '2')
+        b = np.asarray(knn_tpu(x, 5))
+        np.testing.assert_array_equal(a, b)  # same result, different schedule
