@@ -26,6 +26,12 @@ def generate_random_samples(cfg) -> np.ndarray:
         np.float32,
     )
     if cfg_gen.bias_value:
+        z1_dim = cfg.w_autoencoder.model.z1_dim
+        if not 0 <= cfg_gen.bias_dim < z1_dim:
+            raise ValueError(
+                f'user.generate.bias_dim={cfg_gen.bias_dim} is out of range '
+                f'for z1_dim={z1_dim}'
+            )
         z1_bias[:, :, cfg_gen.bias_dim] = cfg_gen.bias_value
     outputs = vqvae.apply(
         cfg_gen.batch_size,

@@ -84,17 +84,31 @@ def hydra_main(fn: Callable[[AllConfig], Any]) -> Callable[[], Any]:
         overrides: list[str] = []
         it = iter(argv)
         for arg in it:
-            if arg == '--config-dir':
-                config_dir = next(it)
-            elif arg == '--config-name':
-                config_name = next(it)
+            if arg in ('--config-dir', '--config-name') or arg.startswith(
+                ('--config-dir=', '--config-name=')
+            ):
+                if '=' in arg:
+                    flag, value = arg.split('=', 1)
+                else:
+                    flag = arg
+                    value = next(it, None)
+                    if value is None:
+                        raise SystemExit(f'{flag} requires a value')
+                if flag == '--config-dir':
+                    config_dir = value
+                else:
+                    config_name = value
             elif arg.startswith('--'):
-                continue
+                raise SystemExit(
+                    f'unknown flag {arg!r} (supported: --config-dir, --config-name)'
+                )
             else:
                 overrides.append(arg)
         cfg = get_config_all(overrides, config_dir, config_name)
-        name, tags = update_exp_name(cfg.name, overrides)
-        cfg.variation = name if not cfg.final else name.removesuffix('_final')
+        # fold overrides into the VARIATION (cfg.name re-appends '_final'
+        # when final=True; folding into cfg.name would double the marker)
+        name, tags = update_exp_name(cfg.variation, overrides)
+        cfg.variation = name
         cfg.tags.extend(tags)
         return fn(cfg)
 

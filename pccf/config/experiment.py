@@ -99,8 +99,16 @@ def set_tuning_logging() -> None:
 
 
 def update_exp_name(cfg_name: str, overrides: list[str]) -> tuple[str, list[str]]:
-    """Fold CLI overrides into the experiment name + tags (experiment.py:67-77)."""
+    """Fold CLI overrides into the experiment name + tags (experiment.py:67-77).
+
+    The name is a single path component: group-selection keys carry a '/'
+    (``data/dataset=...``) which would silently nest experiment directories,
+    so every separator is flattened to '-'.
+    """
     tags = [ov for ov in overrides if '=' in ov]
-    suffix = '_'.join(t.split('=')[0].split('.')[-1] + '-' + t.split('=', 1)[1] for t in tags[:4])
+    suffix = '_'.join(
+        t.split('=')[0].split('.')[-1].split('/')[-1] + '-' + t.split('=', 1)[1]
+        for t in tags[:4]
+    ).replace('/', '-')
     name = f'{cfg_name}_{suffix}' if suffix else cfg_name
     return name[:255], tags

@@ -36,6 +36,7 @@ from pccf.config.options import (
 PositiveInt = Annotated[int, Field(ge=0)]
 StrictlyPositiveInt = Annotated[int, Field(gt=0)]
 PositiveFloat = Annotated[float, Field(ge=0)]
+StrictlyPositiveFloat = Annotated[float, Field(gt=0)]
 
 
 def get_activation(name: str) -> Callable:
@@ -71,8 +72,11 @@ def get_optimizer(name: str):
 
     registry = {
         'AdamW': lambda lr, weight_decay=0.0, **kw: optax.adamw(lr, weight_decay=weight_decay, **kw),
-        'Adam': lambda lr, weight_decay=0.0, **kw: (
-            optax.adamw(lr, weight_decay=weight_decay, **kw) if weight_decay else optax.adam(lr, **kw)
+        # torch Adam applies COUPLED L2 (grad += wd*p before the moment
+        # estimates) — decay-before-transform, not AdamW's decoupled decay
+        'Adam': lambda lr, weight_decay=0.0, **kw: optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.adam(lr, **kw),
         ),
         'SGD': lambda lr, weight_decay=0.0, momentum=0.0, **kw: optax.chain(
             optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
@@ -173,6 +177,16 @@ class AutoEncoderConfig:
     w_dim: StrictlyPositiveInt
     vq_noise: PositiveFloat
 
+    @model_validator(mode='after')
+    def _w_dim_divisible(self):
+        if self.w_dim % self.embedding_dim:
+            raise ValueError(
+                f'w_dim ({self.w_dim}) must be divisible by embedding_dim '
+                f'({self.embedding_dim}): the latent reshapes to '
+                f'(n_codes, embedding_dim)'
+            )
+        return self
+
     @property
     def n_codes(self) -> int:
         return self.w_dim // self.embedding_dim
@@ -186,7 +200,9 @@ class WAutoEncoderConfig:
     conditional_w_encoder: WConditionalEncoderConfig
     z1_dim: StrictlyPositiveInt
     z2_dim: StrictlyPositiveInt
-    cf_temperature: float
+    # a divisor in temperature_softmax (layers.py): zero/negative would turn
+    # every conditional encode into NaN/inverted probabilities
+    cf_temperature: StrictlyPositiveFloat
     n_pseudo_inputs: PositiveInt
 
 

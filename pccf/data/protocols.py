@@ -14,20 +14,27 @@ class Partitions(enum.Enum):
     test = enum.auto()
 
 
+# single module-level registry: rebinding a metaclass attribute from a
+# subclass-bound classmethod (e.g. ModelNet40Dataset.reset_all()) would
+# create a shadowing dict on AbstractSingleton and make later
+# Singleton.reset_all() calls silently ineffective
+_SINGLETON_INSTANCES: dict[type, Any] = {}
+
+
 class Singleton(type):
     """One instance per class (reference protocols.py:30-38) — split creators
     load raw data once per process."""
 
-    _instances: ClassVar[dict[type, Any]] = {}
+    _instances: ClassVar[dict[type, Any]] = _SINGLETON_INSTANCES
 
     def __call__(cls, *args, **kwargs):
-        if cls not in cls._instances:
-            cls._instances[cls] = super().__call__(*args, **kwargs)
-        return cls._instances[cls]
+        if cls not in _SINGLETON_INSTANCES:
+            _SINGLETON_INSTANCES[cls] = super().__call__(*args, **kwargs)
+        return _SINGLETON_INSTANCES[cls]
 
     @classmethod
     def reset_all(mcs) -> None:
-        mcs._instances = {}
+        _SINGLETON_INSTANCES.clear()
 
 
 class AbstractSingleton(Singleton, abc.ABCMeta):

@@ -61,6 +61,59 @@ class TestCompose:
         with pytest.raises(ComposeError, match='unknown config group'):
             compose(CONFIG_DIR, overrides=['data/datset=shapenet'])
 
+    def test_cli_final_marker_not_doubled(self, monkeypatch, tmp_path):
+        """final=true + any override must yield exactly one trailing '_final'
+        (regression: folding overrides into cfg.name doubled the marker), and
+        group-selection keys must not inject '/' into the experiment name."""
+        import sys
+
+        from pccf.config.cli import hydra_main
+        from pccf.data.protocols import Singleton
+
+        monkeypatch.setenv('ROOT_EXP_DIR', str(tmp_path / 'exp'))
+        monkeypatch.setenv('DATASET_DIR', str(tmp_path / 'data'))
+        Singleton.reset_all()
+        captured = {}
+
+        @hydra_main
+        def main(cfg):
+            captured['name'] = cfg.name
+
+        monkeypatch.setattr(
+            sys, 'argv',
+            ['prog', 'final=true', 'user.seed=1', 'data/dataset=synthetic',
+             'data.dataset.n_classes=2'],
+        )
+        main()
+        name = captured['name']
+        # exactly one trailing marker ('_final-true' is the override TAG,
+        # not the marker)
+        assert name.endswith('_final') and not name.endswith('_final_final'), name
+        assert '/' not in name
+
+    def test_adam_weight_decay_is_coupled_like_torch(self):
+        """'Adam' with weight_decay must reproduce torch.optim.Adam's COUPLED
+        L2 (decay folded into the gradient before the moment estimates), not
+        AdamW's decoupled form."""
+        import numpy as np
+        import jax.numpy as jnp
+        import torch
+
+        from pccf.config.specs import get_optimizer
+
+        p0, g0, lr, wd = 0.7, 0.3, 0.1, 0.5
+        tx = get_optimizer('Adam')(lr, weight_decay=wd)
+        params = {'w': jnp.asarray([p0], jnp.float32)}
+        state = tx.init(params)
+        updates, _ = tx.update({'w': jnp.asarray([g0], jnp.float32)}, state, params)
+        ours = float(params['w'][0] + updates['w'][0])
+
+        tp = torch.nn.Parameter(torch.tensor([p0]))
+        opt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+        tp.grad = torch.tensor([g0])
+        opt.step()
+        assert abs(ours - float(tp.detach()[0])) < 1e-6
+
     def test_package_global_directive(self, tmp_path):
         """A group option file declaring '# @package _global_' merges at the
         root instead of under its group key."""
