@@ -171,6 +171,10 @@ int pccf_assemble_batch(const float* clouds, int64_t n_items, int64_t n_src,
     int n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads < 1) n_threads = 1;
     if ((int64_t)n_threads > batch) n_threads = (int)batch;
+    // threads are spawned per call (~tens of us each); keep >= 4 items per
+    // thread so spawn cost stays a small fraction of the ~130 us/item work
+    if ((int64_t)n_threads * 4 > batch) n_threads = (int)((batch + 3) / 4);
+    if (n_threads < 1) n_threads = 1;
     std::vector<std::thread> pool;
     pool.reserve((size_t)n_threads);
     for (int t = 0; t < n_threads; ++t) {
@@ -202,6 +206,10 @@ int pccf_assemble_batch_aug(const float* clouds, int64_t n_items, int64_t n_src,
     int n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads < 1) n_threads = 1;
     if ((int64_t)n_threads > batch) n_threads = (int)batch;
+    // threads are spawned per call (~tens of us each); keep >= 4 items per
+    // thread so spawn cost stays a small fraction of the ~130 us/item work
+    if ((int64_t)n_threads * 4 > batch) n_threads = (int)((batch + 3) / 4);
+    if (n_threads < 1) n_threads = 1;
     std::vector<std::thread> pool;
     pool.reserve((size_t)n_threads);
     for (int t = 0; t < n_threads; ++t) {
