@@ -224,3 +224,49 @@ class TestGPSampler:
         assert isinstance(tuning.make_sampler('random'), tuning.RandomSampler)
         with pytest.raises(ValueError):
             tuning.make_sampler('cmaes')
+
+
+class TestRunStudy:
+    def test_run_study_drives_objective_and_persists(self, tmp_path):
+        """run_study (the shared tuning entry-point driver) composes the
+        tuning YAML, builds pruner/sampler/study, optimizes, and writes the
+        sqlite DB + study plots."""
+        tdir = tmp_path / 'tuningcfg'
+        tdir.mkdir()
+        (tdir / 'defaults.yaml').write_text(
+            f"""
+db_location: "{tmp_path / 'db'}"
+db_name: unit_study
+storage: "sqlite:///{tmp_path / 'db'}/unit_study.db"
+renderer: png
+overrides: []
+tune:
+  study_name: unit
+  n_trials: 3
+  sampler: random
+  n_startup_trials: 1
+  n_warmup_steps: 0
+  interval_steps: 1
+  n_min_trials: 1
+  params: {{}}
+"""
+        )
+        seen = []
+
+        def set_objective(tune_cfg):
+            assert tune_cfg['tune']['n_trials'] == 3
+
+            def objective(trial):
+                x = trial.suggest_float('x', 0.0, 1.0)
+                trial.report(x, step=0)
+                seen.append(x)
+                return x
+
+            return objective
+
+        study = tuning.run_study(tdir, set_objective, argv=[])
+        assert len(seen) == 3
+        trials = study.get_trials()
+        assert len(trials) == 3
+        assert all(t.state == TrialState.COMPLETE for t in trials)
+        assert (tmp_path / 'db' / 'unit_study.db').exists()
