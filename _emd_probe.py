@@ -9,6 +9,11 @@ Variants (vs the mainline ``pccf.kernels.pallas_emd``):
 - ``pair2``: ``nokc`` plus two batch pairs per kernel instance with their
   sweeps interleaved tile-by-tile — two independent reduction/exp chains per
   basic block, a win iff the sweeps are latency-bound.
+- ``bf16s``: ``nokc`` with the accumulated winv stored bf16 (12 -> 8 B/elem;
+  0.4% grad error, interpret-checked).  d2/exp2/ratios must stay f32 — the
+  sharp levels amplify d2 quantization exponentially and the grad
+  cancellation amplifies W/x2 quantization ~10x (both measured; see the
+  kernel docstring).
 
 Usage:
   python _emd_probe.py check   # interpret-mode numeric check vs golden (CPU)
@@ -196,6 +201,174 @@ def _forward_nokc(x1, x2, interpret=False):
     return cost[:, 0, 0], grad1, grad2
 
 
+def _emd_kernel_bf16s(
+    x1_ref, x2_ref, x2t_ref, cost_ref, grad1_ref, grad2_ref,
+    remain_l, ratio_l, remain_r, ratio_r, col_acc, g2_acc, d2c, wacc,
+    *, n: int, m: int, mult_l: float, mult_r: float,
+):
+    """``nokc`` schedule with the accumulated winv stored in bfloat16.
+
+    What must stay f32 (measured on CPU, _dbg study):
+    - d2 and the exp2 evaluation — the sharp levels scale d2 by
+      -4^7·log2(e) ≈ -23600, so bf16's 0.4% d2 quantization shifts the
+      exponent by ±O(10) bits (39% grad error);
+    - the k·rl·rr multiply chain — W's 1.2% quantization amplifies to ~13%
+      grad error through the x1·rowsum(W) − W@x2 cancellation.
+    What CAN be halved: the wacc store/accumulate (bf16: 0.6% grad error,
+    measured), which cuts per-sweep traffic from 12 to 8 B/elem under the
+    nokc schedule.  An A/B probe for the sweep's bandwidth share
+    (BASELINE.md ceiling proof says VPU-compute-bound; this tests it).
+    """
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    x2 = x2_ref[...]
+    n_tiles = n // _TILE
+    n_levels = len(APPROX_MATCH_LEVELS)
+    n2 = jnp.sum(x2 * x2, axis=1, keepdims=True)
+    aug2 = jnp.concatenate([x2, n2, jnp.ones((m, 1), f32)], axis=1)
+
+    remain_l[...] = jnp.full((n, 1), mult_l, f32)
+    remain_r[...] = jnp.full((1, m), mult_r, f32)
+    cost_ref[...] = jnp.zeros((1, 1), f32)
+    g2_acc[...] = jnp.zeros((m, 4), f32)
+    col_acc[...] = jnp.zeros((1, m), f32)
+
+    def phase12_tile(t, k):
+        suml = jnp.sum(k * remain_r[...], axis=1, keepdims=True)
+        rl = remain_l[pl.ds(t * _TILE, _TILE), :] / (suml + 1e-9)
+        ratio_l[pl.ds(t * _TILE, _TILE), :] = rl
+        col_acc[...] += jnp.sum(k * rl, axis=0, keepdims=True)
+
+    def phase3_tile(t, d2, k, first):
+        rl = ratio_l[pl.ds(t * _TILE, _TILE), :]
+        w = k * rl * ratio_r[...]
+        remain_l[pl.ds(t * _TILE, _TILE), :] = jnp.maximum(
+            0.0, remain_l[pl.ds(t * _TILE, _TILE), :] - jnp.sum(w, axis=1, keepdims=True)
+        )
+        winv = w * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+        if first:
+            wacc[pl.ds(t * _TILE, _TILE), :] = winv.astype(bf)
+        else:
+            wacc[pl.ds(t * _TILE, _TILE), :] += winv.astype(bf)
+
+    def interphase():
+        demand = col_acc[...] * remain_r[...]
+        consumption = jnp.minimum(remain_r[...] / (demand + 1e-9), 1.0)
+        ratio_r[...] = consumption * remain_r[...]
+        remain_r[...] = jnp.maximum(0.0, remain_r[...] - demand)
+        col_acc[...] = jnp.zeros((1, m), f32)
+
+    def kexp(lvl, d2):  # f32 throughout (precision-critical, see docstring)
+        return jnp.exp2(lvl * d2)
+
+    def sweep0(t, _):
+        xt = x1_ref[pl.ds(t * _TILE, _TILE), :]
+        d2 = jnp.zeros((_TILE, m), f32)
+        for c in range(3):
+            diff = xt[:, c : c + 1] - x2t_ref[c : c + 1, :]
+            d2 = d2 + diff * diff
+        d2c[pl.ds(t * _TILE, _TILE), :] = d2
+        phase12_tile(t, kexp(_level2(jnp.asarray(0.0)), d2))
+        return _
+
+    jax.lax.fori_loop(0, n_tiles, sweep0, None)
+    interphase()
+
+    def sweepL(li, _):
+        lvl = _level2(li.astype(f32))
+        lvl_prev = _level2(li.astype(f32) - 1.0)
+
+        def body(t, _):
+            d2 = d2c[pl.ds(t * _TILE, _TILE), :]
+            phase3_tile(t, d2, kexp(lvl_prev, d2), first=False)
+            phase12_tile(t, kexp(lvl, d2))
+            return _
+
+        def body_first(t, _):
+            d2 = d2c[pl.ds(t * _TILE, _TILE), :]
+            phase3_tile(t, d2, kexp(lvl_prev, d2), first=True)
+            phase12_tile(t, kexp(lvl, d2))
+            return _
+
+        jax.lax.cond(
+            li == 1,
+            lambda: jax.lax.fori_loop(0, n_tiles, body_first, None),
+            lambda: jax.lax.fori_loop(0, n_tiles, body, None),
+        )
+        interphase()
+        return _
+
+    jax.lax.fori_loop(1, n_levels, sweepL, None)
+
+    def dot(a, b, dims):  # f32 HIGHEST like the mainline (x2 must not quantize:
+        # grad1's x1·rowsum − W@x2 cancellation amplifies input error ~10x)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+        )
+
+    lvl_last = _level2(jnp.asarray(float(n_levels - 1)))
+
+    def sweep_last(t, _):
+        d2 = d2c[pl.ds(t * _TILE, _TILE), :]
+        phase3_tile(t, d2, kexp(lvl_last, d2), first=False)
+        wt = wacc[pl.ds(t * _TILE, _TILE), :].astype(f32)  # bf16 store, f32 math
+        xt = x1_ref[pl.ds(t * _TILE, _TILE), :]
+        row5 = dot(wt, aug2, (((1,), (0,)), ((), ())))
+        n1 = jnp.sum(xt * xt, axis=1, keepdims=True)
+        contrib = (
+            row5[:, 3:4] + n1 * row5[:, 4:5]
+            - 2.0 * jnp.sum(xt * row5[:, 0:3], axis=1, keepdims=True)
+        )
+        cost_ref[...] = cost_ref[...] + jnp.sum(contrib)
+        grad1_ref[pl.ds(t * _TILE, _TILE), :] = xt * row5[:, 4:5] - row5[:, 0:3]
+        aug = jnp.concatenate([xt, jnp.ones((_TILE, 1), f32)], axis=1)
+        g2_acc[...] += dot(wt, aug, (((0,), (0,)), ((), ())))
+        return _
+
+    jax.lax.fori_loop(0, n_tiles, sweep_last, None)
+    grad2_ref[...] = x2 * g2_acc[:, 3:4] - g2_acc[:, 0:3]
+
+
+def _forward_bf16s(x1, x2, interpret=False):
+    b, n, c = x1.shape
+    m = x2.shape[1]
+    mult_l, mult_r = (1.0, float(n // m)) if n >= m else (float(m // n), 1.0)
+    kernel = functools.partial(_emd_kernel_bf16s, n=n, m=m, mult_l=mult_l, mult_r=mult_r)
+    cost, grad1, grad2 = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((m, 4), jnp.float32),
+            pltpu.VMEM((n, m), jnp.float32),  # d2 cache: precision-critical
+            pltpu.VMEM((n, m), jnp.bfloat16),  # accumulated winv
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=interpret,
+    )(x1, x2, jnp.swapaxes(x2, 1, 2))
+    return cost[:, 0, 0], grad1, grad2
+
+
 def _emd_kernel_pair2(
     x1_ref, x2_ref, x2t_ref, cost_ref, grad1_ref, grad2_ref,
     remain_l, ratio_l, remain_r, ratio_r, col_acc, g2_acc, d2c, wacc,
@@ -374,13 +547,18 @@ def check():
         ref = mainline_mod._emd_forward_and_grads(x1, x2)
     finally:
         pl.pallas_call = orig
-    for name, fn in [('nokc', _forward_nokc), ('pair2', _forward_pair2)]:
+    for name, fn, tol in [
+        ('nokc', _forward_nokc, 1e-5),
+        ('pair2', _forward_pair2, 1e-5),
+        # bf16 sweep chain: quantization error is the design trade-off
+        ('bf16s', _forward_bf16s, 5e-2),
+    ]:
         got = fn(x1, x2, interpret=True)
         for part, g, r in zip(('cost', 'grad1', 'grad2'), got, ref):
             g, r = np.asarray(g), np.asarray(r)
             rel = np.max(np.abs(g - r)) / (np.max(np.abs(r)) + 1e-12)
             print(f'{name} {part}: max rel {rel:.2e}')
-            assert rel < 1e-5, (name, part, rel)
+            assert rel < tol, (name, part, rel)
     print('check ok')
 
 
@@ -394,7 +572,12 @@ def bench():
     x = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32) / 2)
     y = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32) / 2)
 
-    for name, fn in [('mainline', mainline), ('nokc', _forward_nokc), ('pair2', _forward_pair2)]:
+    for name, fn in [
+        ('mainline', mainline),
+        ('nokc', _forward_nokc),
+        ('pair2', _forward_pair2),
+        ('bf16s', _forward_bf16s),
+    ]:
         def step(carry, fn=fn):
             cx, cy = carry
             cost, g1, g2 = fn(cx, cy)
