@@ -43,3 +43,5 @@ for p in $phases; do
   esac
 done
 echo "RECOVERY SEQUENCE DONE $(date)" | tee -a $LOG/summary.txt
+# durable copy for the session to fold into BASELINE.md (untracked)
+cp $LOG/summary.txt /root/repo/_recovery_summary.txt 2>/dev/null || true
