@@ -28,11 +28,29 @@ DATA_AXIS = 'dp'
 
 
 def initialize_distributed() -> None:
-    """Multi-host init (jax.distributed); no-op on a single host."""
+    """Multi-host init (jax.distributed); no-op on a single host.
+
+    When the environment declares multi-host intent (a coordinator address
+    is configured), an init failure PROPAGATES: swallowing it would leave N
+    hosts each believing they are a single-process run — all rank 0, all
+    writing the same checkpoints (silent corruption instead of a startup
+    error)."""
+    import os
+
+    intent = any(
+        os.environ.get(k)
+        for k in (
+            'JAX_COORDINATOR_ADDRESS',
+            'COORDINATOR_ADDRESS',
+            'MEGASCALE_COORDINATOR_ADDRESS',
+        )
+    )
     try:
         jax.distributed.initialize()
     except (RuntimeError, ValueError):
-        pass  # already initialised or single-process
+        if intent:
+            raise
+        # already initialised, or a genuine single-process run
 
 
 @functools.lru_cache(maxsize=8)
@@ -99,16 +117,28 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def host_batch_to_global(batch: Any, mesh: Mesh) -> Any:
-    """On multi-host: assemble a global array from per-host shards."""
+    """On multi-host: assemble a global array from per-host shards.
+
+    Mirrors :func:`shard_batch`'s leaf handling: ``None`` leaves pass
+    through, and a leaf whose global batch dim would not divide the dp axis
+    (trailing eval batch) is replicated from host data instead of crashing
+    inside ``host_local_array_to_global_array``."""
     if jax.process_count() == 1:
         return shard_batch(batch, mesh)
     from jax.experimental import multihost_utils
 
-    return jax.tree.map(
-        lambda x: multihost_utils.host_local_array_to_global_array(np.asarray(x), mesh, P(DATA_AXIS)),
-        batch,
-        is_leaf=lambda x: x is None,
-    )
+    n = dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
+    per_host = n // jax.process_count()
+
+    def put(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % max(per_host, 1) == 0:
+            return multihost_utils.host_local_array_to_global_array(x, mesh, P(DATA_AXIS))
+        return multihost_utils.host_local_array_to_global_array(x, mesh, P())
+
+    return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
 
 
 def is_main_process() -> bool:

@@ -82,8 +82,21 @@ def shard_variables_ep(variables: Any, mesh: Mesh, n_components: int, axis: str 
 
 
 def make_2d_mesh(n_devices: int, mp: int = 2) -> Mesh:
-    """(dp, mp) mesh over the first ``n_devices`` devices."""
-    devices = np.asarray(jax.devices()[:n_devices])
+    """(dp, mp) mesh over the first ``n_devices`` devices.
+
+    Raises on an impossible layout — a silently degraded mesh (mp=1, or
+    fewer devices than requested) must never masquerade as the requested
+    tensor-parallel one (same contract as ``pccf.dist.mesh.get_mesh``)."""
+    available = jax.devices()
+    if len(available) < n_devices:
+        raise RuntimeError(
+            f'requested a {n_devices}-device mesh but only '
+            f'{len(available)} JAX device(s) are available'
+        )
     if n_devices % mp:
-        mp = 1
+        raise ValueError(
+            f'cannot lay out {n_devices} devices as (dp, mp={mp}): '
+            f'{n_devices} % {mp} != 0'
+        )
+    devices = np.asarray(available[:n_devices])
     return Mesh(devices.reshape(n_devices // mp, mp), ('dp', 'mp'))

@@ -113,6 +113,11 @@ class CounterfactualServer:
                 self._cls_vars = replicate(self._cls_vars, mesh)
         self._queue: list[tuple[int, np.ndarray, np.ndarray | None, int, float, int]] = []
         self._next_ticket = 0
+        import threading
+
+        # guards ticket minting + queue mutation: flush() explicitly supports
+        # submits landing from other threads while device work is in flight
+        self._queue_lock = threading.Lock()
         self.stats: dict[str, Any] = {'served': 0, 'batches': 0, 'padded': 0}
 
         import functools
@@ -321,23 +326,31 @@ class CounterfactualServer:
         cloud = np.asarray(cloud, np.float32)
         if cloud.ndim != 2 or cloud.shape[-1] != 3:
             raise ValueError(f'cloud must be (N, 3), got {cloud.shape}')
-        if self._queue and cloud.shape != self._queue[0][1].shape:
+        if logits is None and self._cls_module is None:
+            # reject here: a logits-less entry would make every later flush
+            # raise and leave the queue permanently undrainable
             raise ValueError(
-                f'cloud shape {cloud.shape} differs from queued '
-                f'{self._queue[0][1].shape}; flush() before switching shapes'
+                'server built without a classifier: submit() requires logits'
             )
-        ticket = self._next_ticket
-        self._next_ticket += 1
-        self._queue.append(
-            (ticket, cloud, logits, int(target_dim), float(target_value), int(sampling_seed))
-        )
+        with self._queue_lock:
+            if self._queue and cloud.shape != self._queue[0][1].shape:
+                raise ValueError(
+                    f'cloud shape {cloud.shape} differs from queued '
+                    f'{self._queue[0][1].shape}; flush() before switching shapes'
+                )
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            self._queue.append(
+                (ticket, cloud, logits, int(target_dim), float(target_value), int(sampling_seed))
+            )
         return ticket
 
     def flush(self) -> dict[int, np.ndarray]:
         """Serve all queued requests as one batch; returns ticket -> recon."""
-        if not self._queue:
+        with self._queue_lock:  # snapshot: submits landing mid-flush stay queued
+            queue = list(self._queue)
+        if not queue:
             return {}
-        queue = list(self._queue)  # snapshot: submits landing mid-flush stay queued
         clouds = np.stack([q[1] for q in queue])
         tdim = np.asarray([q[3] for q in queue], np.int32)
         tval = np.asarray([q[4] for q in queue], np.float32)
@@ -358,7 +371,8 @@ class CounterfactualServer:
         # drain only the snapshot, only after success: a failed flush keeps
         # tickets redeemable, and requests submitted concurrently with the
         # device work stay queued for the next flush
-        self._queue = self._queue[len(queue):]
+        with self._queue_lock:
+            self._queue = self._queue[len(queue):]
         return {q[0]: recon[i] for i, q in enumerate(queue)}
 
     # ------------------------------------------------------------- warmup
@@ -384,3 +398,7 @@ class CounterfactualServer:
                 self.classify(cloud)
             if generate:
                 self.generate(b)
+                # probs is part of the jitted signature (array vs None):
+                # compile that variant too or the first conditional
+                # generate(probs=...) stalls on a fresh trace
+                self.generate(b, probs=np.full((b, n_classes), 1.0 / n_classes, np.float32))

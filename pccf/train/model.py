@@ -46,12 +46,14 @@ class Checkpoint:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def save(self, extra: dict[str, Any] | None = None) -> pathlib.Path:
+    def save(self) -> pathlib.Path:
+        """Persist variables + epoch.  Deliberately no ``extra`` payload:
+        :meth:`load` restores against this fixed template, so extra keys
+        could never round-trip — side-state (e.g. the optimiser) gets its
+        own sidecar (Trainer.save_checkpoint, runners.py)."""
         path = self.directory / f'epoch_{self.model.epoch}'
         path.parent.mkdir(parents=True, exist_ok=True)
         payload = {'variables': self.model.variables, 'epoch': self.model.epoch}
-        if extra:
-            payload.update(extra)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path.resolve(), payload, force=True)
         ckptr.wait_until_finished()

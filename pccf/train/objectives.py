@@ -86,8 +86,37 @@ class Objective:
         return new
 
     # -------------------------------------------------------------- algebra
+    @staticmethod
+    def _merge_calcs(a: dict, b: dict) -> dict:
+        """Merge calculation registries; composing two DIFFERENT functions
+        under one name would silently evaluate one of them twice and drop
+        the other (``Loss(f1, 'x') + Loss(f2, 'x')`` -> mean(2*f2)).
+
+        Fresh closures from the same factory (``loss | get_emd_loss()``
+        where the loss already holds an 'EMD' term — train_autoencoder's
+        FinalTest under ChamferEMD) are the same calculation by
+        module+qualname and merge fine."""
+
+        def same(f, g):
+            if f is g:
+                return True
+            qf = getattr(f, '__qualname__', None)
+            return (
+                qf is not None
+                and qf == getattr(g, '__qualname__', None)
+                and getattr(f, '__module__', None) == getattr(g, '__module__', None)
+            )
+
+        for name in a.keys() & b.keys():
+            if not same(a[name], b[name]):
+                raise ValueError(
+                    f'objective name collision: {name!r} is bound to two '
+                    f'different calculations; rename one term'
+                )
+        return {**a, **b}
+
     def __add__(self, other: 'Objective') -> 'Objective':
-        calcs = {**self.calculations, **other.calculations}
+        calcs = self._merge_calcs(self.calculations, other.calculations)
         expr = _Add(self._expr(), other._expr())
         new = Objective(calcs, expr, 'Loss')
         new.higher_is_better = {**self.higher_is_better, **other.higher_is_better}
@@ -95,7 +124,7 @@ class Objective:
 
     def __mul__(self, other: 'Objective | float | int') -> 'Objective':
         if isinstance(other, Objective):
-            calcs = {**self.calculations, **other.calculations}
+            calcs = self._merge_calcs(self.calculations, other.calculations)
             expr = _Mul(self._expr(), other._expr())
             new = Objective(calcs, expr, 'Loss')
             new.higher_is_better = {**self.higher_is_better, **other.higher_is_better}
@@ -108,7 +137,7 @@ class Objective:
 
     def __or__(self, metric: 'Objective') -> 'Objective':
         """Attach metric calculations without changing the loss."""
-        calcs = {**self.calculations, **metric.calculations}
+        calcs = self._merge_calcs(self.calculations, metric.calculations)
         new = Objective(calcs, self.loss_expr, self.name)
         new.higher_is_better = {**self.higher_is_better, **metric.higher_is_better}
         return new

@@ -67,7 +67,13 @@ def train_autoencoder(trial: Any | None = None) -> float | None:
     # requires_grad=False, src/module/autoencoders.py:96-98)
     trainer = Trainer(model, train_loader, loss, schema, frozen=('w_autoencoder',))
     diagnostic = Diagnostic(model, train_loader, objective=loss)
-    test_all_metrics = Test(model, test_loader, metric=loss | get_emd_loss(), name='FinalTest')
+    # the final test adds the ApproxMatch EMD metric (reference
+    # train_autoencoder.py:44) unless the training loss already carries an
+    # 'EMD' term (ChamferEMD: same calculation; ChamferSinkhorn: the
+    # surrogate deliberately reports under the same monitor name — attaching
+    # ApproxMatch on top would collide)
+    test_metric = loss if 'EMD' in loss.calculations else loss | get_emd_loss()
+    test_all_metrics = Test(model, test_loader, metric=test_metric, name='FinalTest')
 
     if cfg_user.load_checkpoint:
         trainer.load_checkpoint(cfg_user.load_checkpoint)
