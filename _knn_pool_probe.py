@@ -29,6 +29,8 @@ def main() -> None:
 
     print(
         f"config: PCCF_KNN_NO_PAIR={os.environ.get('PCCF_KNN_NO_PAIR', '')!r} "
+        f"PCCF_KNN_GROUP={os.environ.get('PCCF_KNN_GROUP', '2')!r} "
+        f"PCCF_KNN_MXU={os.environ.get('PCCF_KNN_MXU', '')!r} "
         f"PCCF_POOL_UNROLL={os.environ.get('PCCF_POOL_UNROLL', '4')!r}",
         flush=True,
     )
