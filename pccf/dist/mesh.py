@@ -121,8 +121,8 @@ def host_batch_to_global(batch: Any, mesh: Mesh) -> Any:
 
     Mirrors :func:`shard_batch`'s leaf handling: ``None`` leaves pass
     through, and a leaf whose global batch dim would not divide the dp axis
-    (trailing eval batch) is replicated from host data instead of crashing
-    inside ``host_local_array_to_global_array``."""
+    (trailing eval batch) is all-gathered across hosts and replicated for
+    real, instead of crashing inside ``host_local_array_to_global_array``."""
     if jax.process_count() == 1:
         return shard_batch(batch, mesh)
     from jax.experimental import multihost_utils
@@ -136,6 +136,17 @@ def host_batch_to_global(batch: Any, mesh: Mesh) -> Any:
         x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] % max(per_host, 1) == 0:
             return multihost_utils.host_local_array_to_global_array(x, mesh, P(DATA_AXIS))
+        if x.ndim >= 1:
+            # trailing eval batch that does not divide the dp axis: each
+            # host's local rows DIFFER, so stamping them P() would claim
+            # replication of host-divergent contents (an SPMD invariant
+            # violation — consumers would compute host-divergent results).
+            # Gather the true global batch to every host first; the P()
+            # stamp is then genuine replication.  Requires equal trailing
+            # sizes per host (the loaders split evenly).
+            x = multihost_utils.process_allgather(x, tiled=True)
+        # 0-d leaves (e.g. the epoch scalar) are host-identical by
+        # construction; the P() stamp is genuine replication for them
         return multihost_utils.host_local_array_to_global_array(x, mesh, P())
 
     return jax.tree.map(put, batch, is_leaf=lambda x: x is None)

@@ -139,10 +139,7 @@ def _make_sp_match_cost(mesh: Mesh, axis: str, batch_axis: str | None):
     def _fwd_grads(x1: Array, x2: Array):
         """cost (B,), grad1 sharded rows, grad2 (replicated across ``axis``)."""
         n, m = x1.shape[1], x2.shape[1]
-        if n >= m:
-            mult_l, mult_r = 1.0, float(n // m)
-        else:
-            mult_l, mult_r = float(m // n), 1.0
+        mult_l, mult_r = ops.emd_marginal_multipliers(n, m)
 
         @functools.partial(
             shard_map,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pccf.kernels import ops
 from pccf.kernels.ops import SINKHORN_EPS, SINKHORN_ITERS
 
 Array = jax.Array
@@ -155,7 +156,7 @@ def _sinkhorn_forward_and_grads(
     m = x2.shape[1]
     if n % _TILE:
         raise ValueError(f'n must be a multiple of {_TILE}, got {n}')
-    mult_l, mult_r = (1.0, float(n // m)) if n >= m else (float(m // n), 1.0)
+    mult_l, mult_r = ops.emd_marginal_multipliers(n, m)
     kernel = functools.partial(
         _sinkhorn_kernel, n=n, m=m, mult_l=mult_l, mult_r=mult_r, eps=eps, iters=iters
     )

@@ -118,6 +118,7 @@ class CounterfactualServer:
         # guards ticket minting + queue mutation: flush() explicitly supports
         # submits landing from other threads while device work is in flight
         self._queue_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self.stats: dict[str, Any] = {'served': 0, 'batches': 0, 'padded': 0}
 
         import functools
@@ -274,9 +275,7 @@ class CounterfactualServer:
             self._prepacked = True
         else:
             recon = self._gen(self._vq_vars, *args)
-        self.stats['served'] += n
-        self.stats['batches'] += 1
-        self.stats['padded'] += b - n
+        self._bump_stats(n, b)
         return np.asarray(recon[:n], np.float32)
 
     def generate(
@@ -308,10 +307,16 @@ class CounterfactualServer:
         recon = self._sample(
             self._vq_vars, float(z1_bias), p, int(seed), int(chunk), batch_size=b
         )
-        self.stats['served'] += n
-        self.stats['batches'] += 1
-        self.stats['padded'] += b - n
+        self._bump_stats(n, b)
         return np.asarray(recon[:n], np.float32)
+
+    def _bump_stats(self, n: int, b: int) -> None:
+        # read-modify-write on plain ints: must hold a lock or concurrent
+        # requests silently undercount (the class advertises thread safety)
+        with self._stats_lock:
+            self.stats['served'] += n
+            self.stats['batches'] += 1
+            self.stats['padded'] += b - n
 
     # ------------------------------------------------------ microbatching
     def submit(
@@ -370,9 +375,13 @@ class CounterfactualServer:
         recon = self.counterfactual(clouds, tdim, logits, tval, seeds)
         # drain only the snapshot, only after success: a failed flush keeps
         # tickets redeemable, and requests submitted concurrently with the
-        # device work stay queued for the next flush
+        # device work stay queued for the next flush.  Drain by ticket
+        # identity, not position — a concurrent flush may already have
+        # removed this snapshot, and slicing by length would then strip
+        # requests submitted in the meantime.
         with self._queue_lock:
-            self._queue = self._queue[len(queue):]
+            served = {q[0] for q in queue}
+            self._queue = [q for q in self._queue if q[0] not in served]
         return {q[0]: recon[i] for i, q in enumerate(queue)}
 
     # ------------------------------------------------------------- warmup

@@ -137,6 +137,25 @@ class TPTrainer(Trainer):
                 jax.device_get(self.model.params), self.mesh, min_size=self.min_size
             )
             opt_state = _tp_opt_state(self._tx, params, self.mesh, self.min_size)
+            step = self.model.epoch * self._steps_per_epoch()
+            if step:
+                # same weights-only-resume alignment as the base class
+                # (runners.py _ensure_state): the LR schedule reads optax's
+                # internal count, which init set to 0 — without this a TP
+                # resume silently restarts warmup/decay from epoch 0.  The
+                # fresh count scalars default to single-device placement,
+                # which clashes with the mesh-placed state under jit — put
+                # every scalar leaf back replicated over the mesh.
+                from pccf.train.runners import _set_opt_counts
+
+                opt_state = _set_opt_counts(opt_state, step)
+                repl = NamedSharding(self.mesh, P())
+                opt_state = jax.tree.map(
+                    lambda leaf: jax.device_put(leaf, repl)
+                    if getattr(leaf, 'ndim', None) == 0
+                    else leaf,
+                    opt_state,
+                )
             stats = self.model.batch_stats
             if stats is not None and jax.tree.leaves(stats):
                 repl = NamedSharding(self.mesh, P())
@@ -149,6 +168,6 @@ class TPTrainer(Trainer):
                 params=params,
                 batch_stats=stats,
                 opt_state=opt_state,
-                step=jnp.asarray(self.model.epoch * self._steps_per_epoch(), jnp.int32),
+                step=jnp.asarray(step, jnp.int32),
             )
         return self._state

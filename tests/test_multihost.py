@@ -54,6 +54,17 @@ WORKER = textwrap.dedent(
     expected = np.mean([np.arange(%d) + 100.0 * r for r in range(%d)])
     np.testing.assert_allclose(float(mean), expected, rtol=1e-6)
 
+    # --- trailing batch that does NOT divide the dp axis: must be gathered
+    # across hosts and genuinely replicated — identical contents everywhere,
+    # not a P() stamp over host-divergent rows (SPMD invariant)
+    tail = np.arange(3, dtype=np.float32).reshape(3, 1) + 100.0 * pid
+    gtail = host_batch_to_global({'x': tail}, mesh)['x']
+    assert gtail.shape[0] == 3 * %d, gtail.shape
+    assert gtail.sharding.is_fully_replicated, gtail.sharding
+    tmean = jax.jit(lambda b: b.mean())(gtail)
+    texpected = np.mean([np.arange(3) + 100.0 * r for r in range(%d)])
+    np.testing.assert_allclose(float(tmean), texpected, rtol=1e-6)
+
     # --- rank-staggered construction: rank 0 warms the cache behind a barrier
     from pccf.data.dataset import _staggered_construct
 
@@ -78,6 +89,8 @@ WORKER = textwrap.dedent(
         LOCAL_DEVICES,
         N_PROC * LOCAL_DEVICES,
         LOCAL_DEVICES,
+        N_PROC,
+        N_PROC,
         N_PROC,
     )
 )

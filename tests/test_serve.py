@@ -172,6 +172,34 @@ class TestMicrobatching:
         second = server.flush()
         assert set(second) == set(late)  # late ticket served, not dropped
 
+    def test_overlapping_flushes_do_not_drop_new_submits(self, server, monkeypatch):
+        """Two flushes sharing a snapshot must not double-drain: the outer
+        flush's drain runs after an inner flush already removed the snapshot,
+        and a request submitted in between must survive (regression: draining
+        by slice length stripped it; the drain is now by ticket identity)."""
+        clouds = _clouds(2, seed=8)
+        logits = server.classify(clouds)
+        t0 = server.submit(clouds[0], 0, logits=logits[0])
+        real_cf = server.counterfactual
+        state: dict = {}
+
+        def cf(*args, **kwargs):
+            out = real_cf(*args, **kwargs)
+            if not state.get('fired'):
+                state['fired'] = True
+                # inner flush drains the shared snapshot first, then a new
+                # request lands — all before the outer flush's own drain
+                state['inner'] = server.flush()
+                state['late'] = server.submit(clouds[1], 1, logits=logits[1])
+            return out
+
+        monkeypatch.setattr(server, 'counterfactual', cf)
+        outer = server.flush()
+        assert set(state['inner']) == {t0}
+        assert set(outer) == {t0}
+        final = server.flush()
+        assert set(final) == {state['late']}, 'late submit was dropped by double-drain'
+
 
 class TestGenerate:
     def test_generate_shapes_and_determinism(self, server):

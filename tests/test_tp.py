@@ -246,3 +246,59 @@ class TestTensorParallel:
             # and training continues from the restored layout
             m = trainer2.run_step(inputs, targets, rng=jax.random.key(9), epoch=1.0)
             assert np.isfinite(m['Loss'])
+
+    def test_tp_weights_only_resume_aligns_opt_counts(self, setup):
+        """Resuming a TPTrainer from a weights-only checkpoint (model.epoch>0,
+        no optimiser sidecar) must align optax's internal counts with the
+        logical step, like the base Trainer — otherwise the LR warmup/decay
+        schedule silently restarts from epoch 0 (regression: TPTrainer's
+        _ensure_state override omitted _set_opt_counts)."""
+        from pccf.train import TPTrainer
+
+        cfg, module, _, _, inputs, _ = setup
+        cloud = np.asarray(inputs.cloud)
+
+        class _DS:
+            def __len__(self):
+                return BATCH
+
+            def __getitem__(self, i):
+                from pccf.data.structures import Inputs as I, Targets as T
+
+                return (I(cloud=cloud[i]), T(ref_cloud=cloud[i], label=np.int64(0)))
+
+        model = Model(module, name='tp-resume-test', seed=0)
+        model.initialize(
+            type(inputs)(cloud=cloud[:1]), np.zeros((1, 2), np.float32), method='full_init'
+        )
+        model.epoch = 5  # as after load_state(5) without an _opt sidecar
+        trainer = TPTrainer(
+            model,
+            DataLoader(_DS(), BATCH),
+            get_autoencoder_loss(cfg),
+            get_learning_schema(cfg.autoencoder),
+            mesh=make_2d_mesh(8, mp=2),
+            min_size=32,
+        )
+        state = trainer._ensure_state()
+        expected = 5 * trainer._steps_per_epoch()
+        assert int(state.step) == expected
+
+        def counts(node, out):
+            if hasattr(node, '_fields'):
+                for f in node._fields:
+                    v = getattr(node, f)
+                    if f == 'count':
+                        out.append(int(np.asarray(v)))
+                    else:
+                        counts(v, out)
+            elif isinstance(node, (tuple, list)):
+                for v in node:
+                    counts(v, out)
+            return out
+
+        found = counts(state.opt_state, [])
+        assert found, 'optimiser state exposes no count fields'
+        assert all(c == expected for c in found), (
+            f'opt counts not aligned with step {expected}: {found}'
+        )
