@@ -77,9 +77,18 @@ def bench_loss_kernels(batch=8, n=2048):
 
         return step
 
+    def _fused(a, b):
+        cham, emd = kapi.chamfer_match_cost(a, b)
+        return jnp.sum(cham) + jnp.sum(emd)
+
     results = {}
     for name, loss in [
-        ('chamfer_emd', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.match_cost(a, b))),
+        # the headline: the ChamferEMD composite as the training loss actually
+        # runs it (get_chamfer_emd_losses) — ONE fused kernel launch emitting
+        # the EMD relaxation AND chamfer's min/argmin from the shared d2 sweep
+        ('chamfer_emd', _fused),
+        # the two-launch construction, kept for comparison with round-2 numbers
+        ('chamfer_emd_2launch', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.match_cost(a, b))),
         ('chamfer', lambda a, b: jnp.sum(kapi.chamfer(a, b))),
         ('emd', lambda a, b: jnp.sum(kapi.match_cost(a, b))),
         # opt-in entropic-OT surrogate (ChamferSinkhorn objective) — extra,
@@ -92,12 +101,22 @@ def bench_loss_kernels(batch=8, n=2048):
             # an extra (non-headline) kernel failing — e.g. the opt-in
             # Sinkhorn entry hitting a Mosaic lowering issue — must not take
             # down the chamfer_emd headline metric
-            if name == 'chamfer_emd':
-                raise
             results[f'{name}_error'] = str(e)[:200]
             continue
         results[f'{name}_pairs_per_s'] = batch / dt
         results[f'{name}_ms_per_batch'] = dt * 1e3
+    if 'chamfer_emd_pairs_per_s' not in results:
+        # fused variant failed (e.g. a Mosaic regression in the new
+        # chamfer-in-EMD outputs): fall back to the two-launch number as the
+        # headline rather than losing the bench, keeping the error on record
+        if 'chamfer_emd_2launch_pairs_per_s' not in results:
+            raise RuntimeError(
+                f'both combined-loss variants failed: '
+                f'{results.get("chamfer_emd_error")} / '
+                f'{results.get("chamfer_emd_2launch_error")}'
+            )
+        results['chamfer_emd_pairs_per_s'] = results['chamfer_emd_2launch_pairs_per_s']
+        results['chamfer_emd_ms_per_batch'] = results['chamfer_emd_2launch_ms_per_batch']
     return results
 
 

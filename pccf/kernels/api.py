@@ -59,6 +59,22 @@ def match_cost(x: Array, y: Array) -> Array:
     return ops.match_cost(x, y)
 
 
+def chamfer_match_cost(x: Array, y: Array, reduction: str = 'mean') -> tuple[Array, Array]:
+    """``(chamfer (B,), emd (B,))`` sharing one distance sweep on TPU.
+
+    The ChamferEMD composite evaluates both metrics on the same pair; the
+    fused Pallas kernel emits chamfer's min/argmin from the d2 sweep the EMD
+    relaxation caches anyway, saving the standalone chamfer launch.  Falls
+    back to the two separate (golden) calls off-TPU or when the EMD caches
+    would not fit VMEM."""
+    if _use_pallas() and x.shape[1] % 512 == 0 and y.shape[1] % 128 == 0:
+        from pccf.kernels.pallas_emd import chamfer_match_cost_tpu, emd_fits_vmem
+
+        if emd_fits_vmem(x.shape[1], y.shape[1]):
+            return chamfer_match_cost_tpu(x, y, reduction)
+    return ops.chamfer(x, y, reduction=reduction), ops.match_cost(x, y)
+
+
 def sinkhorn_cost(x: Array, y: Array) -> Array:
     """Sinkhorn EMD surrogate ``(B,)`` — opt-in alternative matcher to
     ApproxMatch (no reference counterpart).  Fused Pallas kernel on TPU

@@ -43,6 +43,38 @@ def get_emd_loss() -> Objective:
     return Loss(_emd, 'EMD')
 
 
+def get_chamfer_emd_losses() -> tuple[Objective, Objective]:
+    """Chamfer and EMD loss terms sharing ONE fused kernel launch.
+
+    Both calculations dispatch :func:`pccf.kernels.api.chamfer_match_cost`,
+    which computes the (N, M) distance structure once (the fused Pallas
+    kernel emits chamfer's min/argmin from the same d2 sweep the EMD
+    relaxation caches).  ``compute_all`` evaluates each named calculation
+    independently, so a trace-level identity cache hands the second
+    calculation the pair the first already produced instead of launching
+    the kernel twice.  The cache keys on the exact tracer/array identities
+    of ``(recon, ref_cloud)``; a new trace (or new arrays) always misses
+    and recomputes, so stale entries are never *used* — they are only kept
+    alive until the next evaluation overwrites them."""
+    cache: list = []
+
+    def _pair(data: Outputs, targets: Targets) -> tuple[Array, Array]:
+        a, b = data.recon, targets.ref_cloud
+        if len(cache) == 3 and cache[0] is a and cache[1] is b:
+            return cache[2]
+        out = kapi.chamfer_match_cost(a, b, reduction='mean')
+        cache[:] = [a, b, out]
+        return out
+
+    def _chamfer(data: Outputs, targets: Targets) -> Array:
+        return _pair(data, targets)[0]
+
+    def _emd(data: Outputs, targets: Targets) -> Array:
+        return _pair(data, targets)[1]
+
+    return Loss(_chamfer, 'Chamfer'), Loss(_emd, 'EMD')
+
+
 def get_sinkhorn_loss() -> Objective:
     """Sinkhorn EMD surrogate (opt-in; no reference counterpart)."""
 
@@ -60,12 +92,12 @@ def get_recon_loss(cfg) -> Objective:
     ``ChamferSinkhorn`` swaps the ApproxMatch term for the entropic-OT
     surrogate (same name so monitors/metrics stay comparable)."""
     recon = cfg.autoencoder.objective.recon_loss
-    chamfer = get_chamfer_loss()
     if recon == ReconLosses.ChamferEMD and not cfg.user.cpu:
-        return chamfer + get_emd_loss()
+        chamfer_term, emd_term = get_chamfer_emd_losses()
+        return chamfer_term + emd_term
     if recon == ReconLosses.ChamferSinkhorn and not cfg.user.cpu:
-        return chamfer + get_sinkhorn_loss()
-    return chamfer
+        return get_chamfer_loss() + get_sinkhorn_loss()
+    return get_chamfer_loss()
 
 
 def get_embed_loss() -> Objective:

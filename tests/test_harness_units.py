@@ -221,3 +221,72 @@ class TestMonitoredValueResolution:
         name, value = resolve_monitored_value(composite, row)
         assert 'Accuracy' not in name
         assert value == pytest.approx(3.0 + 0.5 * (0.5 * 4.0 + 2.0 * 1.0))
+
+
+class TestFusedChamferEMD:
+    def test_single_launch_and_golden_values(self, monkeypatch):
+        """The ChamferEMD composite evaluates both metrics AND the gradient
+        from ONE fused pallas launch (the trace-level pair cache in
+        get_chamfer_emd_losses), with values matching the unfused goldens."""
+        import functools
+
+        from jax.experimental import pallas as pl
+        from pccf.kernels import ops
+
+        calls = []
+        orig = pl.pallas_call
+
+        def counting(*args, **kwargs):
+            calls.append(kwargs.get('grid'))
+            return orig(*args, interpret=True, **kwargs)
+
+        monkeypatch.setattr(pl, 'pallas_call', counting)
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'pallas')
+
+        chamfer_t, emd_t = losses.get_chamfer_emd_losses()
+        composite = chamfer_t + emd_t
+        rng = np.random.default_rng(0)
+        recon = jnp.asarray(rng.standard_normal((2, 512, 3)).astype(np.float32) / 2)
+        ref = jnp.asarray(rng.standard_normal((2, 512, 3)).astype(np.float32) / 2)
+        outputs = Outputs(recon=recon)
+        targets = Targets(ref_cloud=ref)
+
+        loss, metrics = composite.loss_and_metrics(outputs, targets)
+        assert len(calls) == 1, f'expected one fused launch, traced {len(calls)}'
+        np.testing.assert_allclose(
+            float(metrics['Chamfer']), float(jnp.mean(ops.chamfer(recon, ref))), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(metrics['EMD']), float(jnp.mean(ops.match_cost(recon, ref))), rtol=5e-4
+        )
+        np.testing.assert_allclose(
+            float(loss), float(metrics['Chamfer'] + metrics['EMD']), rtol=1e-6
+        )
+
+        # the gradient pass also traces exactly one launch (custom_vjp fwd)
+        calls.clear()
+        grad = jax.grad(
+            lambda r: composite.loss_value(Outputs(recon=r), targets)
+        )(recon)
+        assert len(calls) == 1, f'expected one fused launch under grad, got {len(calls)}'
+        assert np.isfinite(np.asarray(grad)).all()
+        jax.clear_caches()  # drop entries traced with the interpreted calls
+
+    def test_fallback_matches_composite_without_fusion(self, monkeypatch):
+        """Off-TPU (jnp backend) the pair falls back to the two golden calls;
+        the composite is numerically identical to the historical
+        get_chamfer_loss() + get_emd_loss() construction."""
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        chamfer_t, emd_t = losses.get_chamfer_emd_losses()
+        fused = chamfer_t + emd_t
+        unfused = losses.get_chamfer_loss() + losses.get_emd_loss()
+        rng = np.random.default_rng(1)
+        recon = jnp.asarray(rng.standard_normal((2, 128, 3)).astype(np.float32) / 2)
+        ref = jnp.asarray(rng.standard_normal((2, 128, 3)).astype(np.float32) / 2)
+        outputs = Outputs(recon=recon)
+        targets = Targets(ref_cloud=ref)
+        lf, mf = fused.loss_and_metrics(outputs, targets)
+        lu, mu = unfused.loss_and_metrics(outputs, targets)
+        np.testing.assert_allclose(float(lf), float(lu), rtol=1e-6)
+        for k in mu:
+            np.testing.assert_allclose(float(mf[k]), float(mu[k]), rtol=1e-6)

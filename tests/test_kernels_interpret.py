@@ -152,6 +152,47 @@ class TestLossKernelsInterpret:
         for t, r in zip(gt, gr):
             np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
 
+    def test_chamfer_match_cost_fused_matches_goldens(self, interpret_pallas):
+        """One launch emits EMD cost/grads AND nn_distance-parity chamfer."""
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_emd import _emd_chamfer_forward, chamfer_match_cost_tpu
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 512, 3)).astype(np.float32) / 2)
+        y = jnp.asarray(rng.standard_normal((2, 512, 3)).astype(np.float32) / 2)
+        cham, emd = chamfer_match_cost_tpu(x, y)
+        np.testing.assert_allclose(
+            np.asarray(cham), np.asarray(ops.chamfer(x, y)), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(emd), np.asarray(ops.match_cost(x, y)), rtol=5e-4)
+        _, _, _, d1, i1, d2, i2 = _emd_chamfer_forward(x, y)
+        d1r, i1r, d2r, i2r = ops.nn_distance(x, y)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d1r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d2r), atol=1e-4)
+        assert (np.asarray(i1) == np.asarray(i1r)).all()
+        assert (np.asarray(i2) == np.asarray(i2r)).all()
+
+    def test_chamfer_match_cost_fused_grads(self, interpret_pallas):
+        """Combined backward = chamfer analytic + EMD match-constant."""
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_emd import chamfer_match_cost_tpu
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) / 2)
+        y = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) / 2)
+
+        def fused(a, b):
+            cham, emd = chamfer_match_cost_tpu(a, b)
+            return jnp.sum(cham) + 0.5 * jnp.sum(emd)
+
+        def golden(a, b):
+            return jnp.sum(ops.chamfer(a, b)) + 0.5 * jnp.sum(ops.match_cost(a, b))
+
+        gt = jax.grad(fused, argnums=(0, 1))(x, y)
+        gr = jax.grad(golden, argnums=(0, 1))(x, y)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
+
 
 class TestPCGenFusedInterpret:
     def test_fused_decoder_matches_slow_path(self, interpret_pallas, monkeypatch):

@@ -67,6 +67,40 @@ class TestPallasParity:
         np.testing.assert_allclose(np.asarray(g1t), np.asarray(g1r), atol=5e-3)
         np.testing.assert_allclose(np.asarray(g2t), np.asarray(g2r), atol=5e-3)
 
+    def test_chamfer_emd_fused(self):
+        """The fused ChamferEMD launch: chamfer outputs bit-match nn_distance,
+        EMD matches the standalone kernel, combined grads match the goldens."""
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_emd import _emd_chamfer_forward, chamfer_match_cost_tpu
+
+        xs, ys = self.x / 2, self.y / 2
+        cham, emd = chamfer_match_cost_tpu(xs, ys)
+        np.testing.assert_allclose(
+            np.asarray(cham), np.asarray(ops.chamfer(xs, ys)), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(emd), np.asarray(ops.match_cost(xs, ys)), rtol=5e-4)
+        _, _, _, d1, i1, d2, i2 = _emd_chamfer_forward(xs, ys)
+        d1r, i1r, d2r, i2r = ops.nn_distance(xs, ys)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d1r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d2r), atol=1e-4)
+        assert (np.asarray(i1) != np.asarray(i1r)).sum() == 0
+        assert (np.asarray(i2) != np.asarray(i2r)).sum() == 0
+
+        def fused(a, b):
+            c, e = chamfer_match_cost_tpu(a, b)
+            return jnp.sum(c) + jnp.sum(e)
+
+        def golden(a, b):
+            return jnp.sum(ops.chamfer(a, b)) + jnp.sum(ops.match_cost(a, b))
+
+        gt = jax.grad(fused, argnums=(0, 1))(xs, ys)
+        gr = jax.grad(golden, argnums=(0, 1))(xs, ys)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
+
     def test_graph_max_pool(self):
         import jax
         import jax.numpy as jnp
