@@ -92,8 +92,8 @@ def bench_loss_kernels(batch=8, n=2048):
         ('chamfer', lambda a, b: jnp.sum(kapi.chamfer(a, b))),
         ('emd', lambda a, b: jnp.sum(kapi.match_cost(a, b))),
         # opt-in entropic-OT surrogate (ChamferSinkhorn objective) — extra,
-        # not the parity metric
-        ('chamfer_sinkhorn', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.sinkhorn_cost(a, b))),
+        # not the parity metric; fused single-launch form like the headline
+        ('chamfer_sinkhorn', lambda a, b: sum(map(jnp.sum, kapi.chamfer_sinkhorn_cost(a, b)))),
     ]:
         try:
             dt = _marginal_scan_time(make_step(loss), (x, y))

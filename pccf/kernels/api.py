@@ -89,6 +89,18 @@ def sinkhorn_cost(x: Array, y: Array) -> Array:
     return ops.sinkhorn_cost(x, y)
 
 
+def chamfer_sinkhorn_cost(x: Array, y: Array, reduction: str = 'mean') -> tuple[Array, Array]:
+    """``(chamfer (B,), sinkhorn (B,))`` sharing one distance sweep on TPU
+    (same fusion as :func:`chamfer_match_cost`; chamfer's d1 is the Gibbs
+    kernel's row stabiliser)."""
+    if _use_pallas() and x.shape[1] % 512 == 0 and y.shape[1] % 128 == 0:
+        from pccf.kernels.pallas_sinkhorn import chamfer_sinkhorn_cost_tpu, sinkhorn_fits_vmem
+
+        if sinkhorn_fits_vmem(x.shape[1], y.shape[1]):
+            return chamfer_sinkhorn_cost_tpu(x, y, reduction)
+    return ops.chamfer(x, y, reduction=reduction), ops.sinkhorn_cost(x, y)
+
+
 def knn(x: Array, k: int, *, approx: bool = False) -> Array:
     """Self-kNN indices ``(B, N, k)`` — fused Pallas kernel on TPU (~9x the
     XLA materialise+top_k route), jnp elsewhere."""

@@ -50,20 +50,23 @@ def _sinkhorn_kernel(
     cost_ref,  # (1, 1) VMEM out
     grad1_ref,  # (N, 3) VMEM out
     grad2_ref,  # (M, 3) VMEM out
-    u_ref,  # (N, 1) VMEM scratch: row scaling
-    v_ref,  # (1, M) VMEM scratch: column scaling
-    col_acc,  # (1, M) VMEM scratch: K^T u accumulator
-    g2_acc,  # (M, 4) VMEM scratch
-    d2c,  # (N, M) VMEM scratch
-    kc,  # (N, M) VMEM scratch
-    *,
+    *rest,  # [chamfer outs: d1 (N,1) f32, i1 (N,1) i32, dc2 (1,M) f32,
+    #          ic2 (1,M) i32 when with_chamfer] + 6 scratch refs:
+    # u_ref (N, 1) row scaling, v_ref (1, M) column scaling,
+    # col_acc (1, M) K^T u accumulator, g2_acc (M, 4),
+    # d2c (N, M) cached squared distances, kc (N, M) Gibbs kernel
     n: int,
     m: int,
     mult_l: float,
     mult_r: float,
     eps: float,
     iters: int,
+    with_chamfer: bool = False,
 ):
+    if with_chamfer:
+        d1_ref, i1_ref, dc2_ref, ic2_ref = rest[:4]
+        rest = rest[4:]
+    u_ref, v_ref, col_acc, g2_acc, d2c, kc = rest
     x2 = x2_ref[...]
     n_tiles = n // _TILE
     n2 = jnp.sum(x2 * x2, axis=1, keepdims=True)
@@ -72,6 +75,9 @@ def _sinkhorn_kernel(
     cost_ref[...] = jnp.zeros((1, 1), jnp.float32)
     g2_acc[...] = jnp.zeros((m, 4), jnp.float32)
     col_acc[...] = jnp.zeros((1, m), jnp.float32)
+    if with_chamfer:
+        dc2_ref[...] = jnp.full((1, m), 1e30, jnp.float32)
+        ic2_ref[...] = jnp.zeros((1, m), jnp.int32)
     scale = -_LOG2E / eps  # folded for the hardware exp2
 
     # pass 0: d2 + row-stabilised kernel + first u update (v0 = 1)
@@ -83,6 +89,18 @@ def _sinkhorn_kernel(
             d2 = d2 + diff * diff
         d2c[pl.ds(t * _TILE, _TILE), :] = d2
         rowmin = jnp.min(d2, axis=1, keepdims=True)
+        if with_chamfer:
+            # chamfer rides the build pass: d1 IS the stabiliser rowmin the
+            # Gibbs kernel needs anyway; only argmin + the column side are new
+            d1_ref[pl.ds(t * _TILE, _TILE), :] = rowmin
+            i1_ref[pl.ds(t * _TILE, _TILE), :] = (
+                jnp.argmin(d2, axis=-1)[:, None].astype(jnp.int32)
+            )
+            tile_min = jnp.min(d2, axis=0, keepdims=True)
+            tile_arg = (t * _TILE + jnp.argmin(d2, axis=0)[None, :]).astype(jnp.int32)
+            better = tile_min < dc2_ref[...]
+            dc2_ref[...] = jnp.where(better, tile_min, dc2_ref[...])
+            ic2_ref[...] = jnp.where(better, tile_arg, ic2_ref[...])
         k = jnp.exp2(scale * (d2 - rowmin))
         kc[pl.ds(t * _TILE, _TILE), :] = k
         rowsum = jnp.sum(k, axis=1, keepdims=True)
@@ -149,18 +167,42 @@ def _sinkhorn_kernel(
     grad2_ref[...] = x2 * g2_acc[:, 3:4] - g2_acc[:, 0:3]
 
 
-def _sinkhorn_forward_and_grads(
-    x1: Array, x2: Array, eps: float, iters: int
-) -> tuple[Array, Array, Array]:
+def _call_sinkhorn_kernel(
+    x1: Array, x2: Array, eps: float, iters: int, with_chamfer: bool
+) -> tuple[Array, ...]:
     b, n, c = x1.shape
     m = x2.shape[1]
     if n % _TILE:
         raise ValueError(f'n must be a multiple of {_TILE}, got {n}')
     mult_l, mult_r = ops.emd_marginal_multipliers(n, m)
     kernel = functools.partial(
-        _sinkhorn_kernel, n=n, m=m, mult_l=mult_l, mult_r=mult_r, eps=eps, iters=iters
+        _sinkhorn_kernel, n=n, m=m, mult_l=mult_l, mult_r=mult_r, eps=eps, iters=iters,
+        with_chamfer=with_chamfer,
     )
-    cost, grad1, grad2 = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+    ]
+    if with_chamfer:
+        out_specs += [
+            pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
+        ]
+    return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
@@ -168,16 +210,8 @@ def _sinkhorn_forward_and_grads(
             pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, c), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((n, 1), jnp.float32),
             pltpu.VMEM((1, m), jnp.float32),
@@ -193,7 +227,23 @@ def _sinkhorn_forward_and_grads(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
     )(x1, x2, jnp.swapaxes(x2, 1, 2))
+
+
+def _sinkhorn_forward_and_grads(
+    x1: Array, x2: Array, eps: float, iters: int
+) -> tuple[Array, Array, Array]:
+    cost, grad1, grad2 = _call_sinkhorn_kernel(x1, x2, eps, iters, with_chamfer=False)
     return cost[:, 0, 0], grad1, grad2
+
+
+def _sinkhorn_chamfer_forward(x1: Array, x2: Array, eps: float, iters: int):
+    """One launch: Sinkhorn cost+grads AND bidirectional NN min/argmin
+    (``d1`` is the Gibbs-kernel row stabiliser the build pass computes
+    anyway; outputs match :func:`pccf.kernels.ops.nn_distance`)."""
+    cost, grad1, grad2, d1, i1, dc2, ic2 = _call_sinkhorn_kernel(
+        x1, x2, eps, iters, with_chamfer=True
+    )
+    return cost[:, 0, 0], grad1, grad2, d1[:, :, 0], i1[:, :, 0], dc2[:, 0, :], ic2[:, 0, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -217,3 +267,39 @@ def _sc_bwd(_eps, _iters, res, g):
 
 
 sinkhorn_cost_tpu.defvjp(_sc_fwd, _sc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def chamfer_sinkhorn_cost_tpu(
+    x1: Array,
+    x2: Array,
+    reduction: str = 'mean',
+    eps: float = SINKHORN_EPS,
+    iters: int = SINKHORN_ITERS,
+) -> tuple[Array, Array]:
+    """Chamfer AND Sinkhorn EMD surrogate ``((B,), (B,))`` from ONE launch.
+
+    Same fusion as :func:`pccf.kernels.pallas_emd.chamfer_match_cost_tpu`:
+    chamfer's d1 is the row stabiliser the Gibbs-kernel build computes
+    anyway, so the ChamferSinkhorn composite saves the standalone chamfer
+    launch.  Backward combines the chamfer analytic gradients with the
+    plan-constant Sinkhorn gradients."""
+    cost, _, _, d1, _, d2, _ = _sinkhorn_chamfer_forward(x1, x2, eps, iters)
+    red = jnp.mean if reduction == 'mean' else jnp.sum
+    return red(d1, axis=1) + red(d2, axis=1), cost
+
+
+def _csc_fwd(x1, x2, reduction, eps, iters):
+    cost, grad1, grad2, d1, i1, d2, i2 = _sinkhorn_chamfer_forward(x1, x2, eps, iters)
+    red = jnp.mean if reduction == 'mean' else jnp.sum
+    cham = red(d1, axis=1) + red(d2, axis=1)
+    return (cham, cost), (x1, x2, i1, i2, grad1, grad2)
+
+
+def _csc_bwd(reduction, _eps, _iters, res, g):
+    from pccf.kernels.pallas_emd import _cmc_bwd
+
+    return _cmc_bwd(reduction, res, g)
+
+
+chamfer_sinkhorn_cost_tpu.defvjp(_csc_fwd, _csc_bwd)

@@ -193,6 +193,35 @@ class TestLossKernelsInterpret:
         for t, r in zip(gt, gr):
             np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
 
+    def test_chamfer_sinkhorn_fused_matches_goldens(self, interpret_pallas):
+        """Sinkhorn variant of the fused launch: chamfer = the row stabiliser
+        the Gibbs-kernel build computes anyway."""
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_sinkhorn import chamfer_sinkhorn_cost_tpu
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) / 2)
+        y = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) / 2)
+        cham, sink = chamfer_sinkhorn_cost_tpu(x, y)
+        np.testing.assert_allclose(
+            np.asarray(cham), np.asarray(ops.chamfer(x, y)), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sink), np.asarray(ops.sinkhorn_cost(x, y)), rtol=5e-4
+        )
+
+        def fused(a, b):
+            c, s = chamfer_sinkhorn_cost_tpu(a, b)
+            return jnp.sum(c) + jnp.sum(s)
+
+        def golden(a, b):
+            return jnp.sum(ops.chamfer(a, b)) + jnp.sum(ops.sinkhorn_cost(a, b))
+
+        gt = jax.grad(fused, argnums=(0, 1))(x, y)
+        gr = jax.grad(golden, argnums=(0, 1))(x, y)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
+
 
 class TestPCGenFusedInterpret:
     def test_fused_decoder_matches_slow_path(self, interpret_pallas, monkeypatch):

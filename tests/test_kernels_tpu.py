@@ -276,6 +276,31 @@ class TestSinkhornOnChip:
         for t, r in zip(gt, gr):
             np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
 
+    def test_chamfer_sinkhorn_fused(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_sinkhorn import chamfer_sinkhorn_cost_tpu
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.random((2, 512, 3)).astype(np.float32))
+        y = jnp.asarray(rng.random((2, 512, 3)).astype(np.float32))
+        cham, sink = chamfer_sinkhorn_cost_tpu(x, y)
+        np.testing.assert_allclose(
+            np.asarray(cham), np.asarray(ops.chamfer(x, y)), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(sink), np.asarray(ops.sinkhorn_cost(x, y)), rtol=2e-3)
+        gt = jax.grad(
+            lambda a, b: sum(map(jnp.sum, chamfer_sinkhorn_cost_tpu(a, b))), argnums=(0, 1)
+        )(x, y)
+        gr = jax.grad(
+            lambda a, b: jnp.sum(ops.chamfer(a, b)) + jnp.sum(ops.sinkhorn_cost(a, b)),
+            argnums=(0, 1),
+        )(x, y)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
+
 
 @requires_tpu
 class TestWFormerOnChip:
