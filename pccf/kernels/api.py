@@ -72,7 +72,10 @@ def chamfer_match_cost(x: Array, y: Array, reduction: str = 'mean') -> tuple[Arr
 
         if emd_fits_vmem(x.shape[1], y.shape[1]):
             return chamfer_match_cost_tpu(x, y, reduction)
-    return ops.chamfer(x, y, reduction=reduction), ops.match_cost(x, y)
+    # Per-term dispatchers, not ops.*: when only the fused gate fails (e.g.
+    # n=4096 exceeds the EMD VMEM budget) the chamfer term still gets its
+    # own Pallas kernel.
+    return chamfer(x, y, reduction=reduction), match_cost(x, y)
 
 
 def sinkhorn_cost(x: Array, y: Array) -> Array:
@@ -98,7 +101,7 @@ def chamfer_sinkhorn_cost(x: Array, y: Array, reduction: str = 'mean') -> tuple[
 
         if sinkhorn_fits_vmem(x.shape[1], y.shape[1]):
             return chamfer_sinkhorn_cost_tpu(x, y, reduction)
-    return ops.chamfer(x, y, reduction=reduction), ops.sinkhorn_cost(x, y)
+    return chamfer(x, y, reduction=reduction), sinkhorn_cost(x, y)
 
 
 def knn(x: Array, k: int, *, approx: bool = False) -> Array:

@@ -21,11 +21,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pccf.kernels import _chamfer_fold
+
 Array = jax.Array
 
 _TILE_N = 128  # rows of the distance tile computed per inner step
-
-_BIG = 1e30
 
 
 def _nn_both_kernel(x_ref, y_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, n: int, valid_n: int):
@@ -34,9 +34,7 @@ def _nn_both_kernel(x_ref, y_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, n: 
     c_dim = y_ref.shape[1]
     n_tiles = n // _TILE_N
 
-    # running column-side minima
-    d2_ref[...] = jnp.full((1, m), _BIG, jnp.float32)
-    i2_ref[...] = jnp.zeros((1, m), jnp.int32)
+    _chamfer_fold.fold_init(d2_ref, i2_ref, m)
 
     def tile_body(t, _):
         x = x_ref[pl.ds(t * _TILE_N, _TILE_N), :]  # (T, C)
@@ -45,17 +43,10 @@ def _nn_both_kernel(x_ref, y_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, n: 
         for c in range(c_dim):
             diff = x[:, c : c + 1] - yt_ref[c : c + 1, :]
             d = d + diff * diff
-        # row side
-        d1_ref[pl.ds(t * _TILE_N, _TILE_N), :] = jnp.min(d, axis=-1, keepdims=True)
-        i1_ref[pl.ds(t * _TILE_N, _TILE_N), :] = jnp.argmin(d, axis=-1)[:, None].astype(jnp.int32)
-        # column side: mask padded rows, fold into running min
-        row_ids = t * _TILE_N + jax.lax.broadcasted_iota(jnp.int32, (_TILE_N, 1), 0)
-        d_masked = jnp.where(row_ids < valid_n, d, _BIG)
-        tile_min = jnp.min(d_masked, axis=0, keepdims=True)  # (1, M)
-        tile_arg = (t * _TILE_N + jnp.argmin(d_masked, axis=0)[None, :]).astype(jnp.int32)
-        better = tile_min < d2_ref[...]
-        d2_ref[...] = jnp.where(better, tile_min, d2_ref[...])
-        i2_ref[...] = jnp.where(better, tile_arg, i2_ref[...])
+        # row side + running column side (padded rows masked out)
+        _chamfer_fold.fold_tile(
+            d, t * _TILE_N, d1_ref, i1_ref, d2_ref, i2_ref, valid_n=valid_n
+        )
         return _
 
     jax.lax.fori_loop(0, n_tiles, tile_body, None)
@@ -92,6 +83,7 @@ def _nn_distance_raw(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
     xp = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0))) if pad_n else x
     np_ = xp.shape[1]
     kernel = functools.partial(_nn_both_kernel, n=np_, valid_n=n)
+    cham_specs, cham_shapes = _chamfer_fold.fold_out_specs(b, np_, m)
     d1, i1, d2, i2 = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -100,18 +92,8 @@ def _nn_distance_raw(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
             pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((None, np_, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, np_, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, np_, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, np_, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
-        ),
+        out_specs=tuple(cham_specs),
+        out_shape=tuple(cham_shapes),
         cost_estimate=pl.CostEstimate(
             flops=int(b * np_ * m * (2 * c + 5)),
             bytes_accessed=int(b * (np_ + m) * c * 4 + b * (np_ + m) * 8),

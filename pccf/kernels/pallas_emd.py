@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pccf.kernels import _chamfer_fold
 from pccf.kernels.ops import APPROX_MATCH_LEVELS
 
 Array = jax.Array
@@ -96,8 +97,7 @@ def _emd_kernel(
     g2_acc[...] = jnp.zeros((m, 4), jnp.float32)
     col_acc[...] = jnp.zeros((1, m), jnp.float32)
     if with_chamfer:
-        dc2_ref[...] = jnp.full((1, m), 1e30, jnp.float32)
-        ic2_ref[...] = jnp.zeros((1, m), jnp.int32)
+        _chamfer_fold.fold_init(dc2_ref, ic2_ref, m)
 
     def level2_of(li):
         # level = -4^(7-li), folded with log2(e) for the hardware exp2
@@ -144,16 +144,8 @@ def _emd_kernel(
         if with_chamfer:
             # Chamfer rides the one-time d2 sweep for ~5 extra ops/element
             # (vs the 9-level relaxation's ~100): row/col min+argmin exactly
-            # as the standalone chamfer kernel (pallas_chamfer._nn_both_kernel)
-            d1_ref[pl.ds(t * _TILE, _TILE), :] = jnp.min(d2, axis=-1, keepdims=True)
-            i1_ref[pl.ds(t * _TILE, _TILE), :] = (
-                jnp.argmin(d2, axis=-1)[:, None].astype(jnp.int32)
-            )
-            tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, M)
-            tile_arg = (t * _TILE + jnp.argmin(d2, axis=0)[None, :]).astype(jnp.int32)
-            better = tile_min < dc2_ref[...]
-            dc2_ref[...] = jnp.where(better, tile_min, dc2_ref[...])
-            ic2_ref[...] = jnp.where(better, tile_arg, ic2_ref[...])
+            # as the standalone chamfer kernel (shared fold helper)
+            _chamfer_fold.fold_tile(d2, t * _TILE, d1_ref, i1_ref, dc2_ref, ic2_ref)
         phase12_tile(t, jnp.exp2(level2_of(jnp.asarray(0.0)) * d2))
         return _
 
@@ -246,18 +238,9 @@ def _call_emd_kernel(x1: Array, x2: Array, with_chamfer: bool) -> tuple[Array, .
         jax.ShapeDtypeStruct((b, m, c), jnp.float32),
     ]
     if with_chamfer:
-        out_specs += [
-            pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ]
-        out_shape += [
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
-        ]
+        cham_specs, cham_shapes = _chamfer_fold.fold_out_specs(b, n, m)
+        out_specs += cham_specs
+        out_shape += cham_shapes
     return pl.pallas_call(
         kernel,
         grid=(b,),

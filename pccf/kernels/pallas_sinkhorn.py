@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pccf.kernels import ops
+from pccf.kernels import _chamfer_fold, ops
 from pccf.kernels.ops import SINKHORN_EPS, SINKHORN_ITERS
 
 Array = jax.Array
@@ -76,8 +76,7 @@ def _sinkhorn_kernel(
     g2_acc[...] = jnp.zeros((m, 4), jnp.float32)
     col_acc[...] = jnp.zeros((1, m), jnp.float32)
     if with_chamfer:
-        dc2_ref[...] = jnp.full((1, m), 1e30, jnp.float32)
-        ic2_ref[...] = jnp.zeros((1, m), jnp.int32)
+        _chamfer_fold.fold_init(dc2_ref, ic2_ref, m)
     scale = -_LOG2E / eps  # folded for the hardware exp2
 
     # pass 0: d2 + row-stabilised kernel + first u update (v0 = 1)
@@ -92,15 +91,9 @@ def _sinkhorn_kernel(
         if with_chamfer:
             # chamfer rides the build pass: d1 IS the stabiliser rowmin the
             # Gibbs kernel needs anyway; only argmin + the column side are new
-            d1_ref[pl.ds(t * _TILE, _TILE), :] = rowmin
-            i1_ref[pl.ds(t * _TILE, _TILE), :] = (
-                jnp.argmin(d2, axis=-1)[:, None].astype(jnp.int32)
+            _chamfer_fold.fold_tile(
+                d2, t * _TILE, d1_ref, i1_ref, dc2_ref, ic2_ref, rowmin=rowmin
             )
-            tile_min = jnp.min(d2, axis=0, keepdims=True)
-            tile_arg = (t * _TILE + jnp.argmin(d2, axis=0)[None, :]).astype(jnp.int32)
-            better = tile_min < dc2_ref[...]
-            dc2_ref[...] = jnp.where(better, tile_min, dc2_ref[...])
-            ic2_ref[...] = jnp.where(better, tile_arg, ic2_ref[...])
         k = jnp.exp2(scale * (d2 - rowmin))
         kc[pl.ds(t * _TILE, _TILE), :] = k
         rowsum = jnp.sum(k, axis=1, keepdims=True)
@@ -190,18 +183,9 @@ def _call_sinkhorn_kernel(
         jax.ShapeDtypeStruct((b, m, c), jnp.float32),
     ]
     if with_chamfer:
-        out_specs += [
-            pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ]
-        out_shape += [
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
-        ]
+        cham_specs, cham_shapes = _chamfer_fold.fold_out_specs(b, n, m)
+        out_specs += cham_specs
+        out_shape += cham_shapes
     return pl.pallas_call(
         kernel,
         grid=(b,),

@@ -193,6 +193,62 @@ class TestLossKernelsInterpret:
         for t, r in zip(gt, gr):
             np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
 
+    @pytest.mark.parametrize('m,reduction', [(256, 'mean'), (1024, 'sum')])
+    def test_chamfer_match_cost_fused_rectangular(self, interpret_pallas, m, reduction):
+        """n != m exercises the asymmetric marginals (mult_r = max(m//n, 1))
+        and the 1/n-vs-1/m chamfer gradient split; 'sum' locks the
+        reduction-scaling path."""
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_emd import chamfer_match_cost_tpu
+
+        rng = np.random.default_rng(10 + m)
+        x = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) / 2)
+        y = jnp.asarray(rng.standard_normal((1, m, 3)).astype(np.float32) / 2)
+        cham, emd = chamfer_match_cost_tpu(x, y, reduction)
+        np.testing.assert_allclose(
+            np.asarray(cham), np.asarray(ops.chamfer(x, y, reduction=reduction)),
+            rtol=1e-5, atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(emd), np.asarray(ops.match_cost(x, y)), rtol=5e-4)
+
+        def fused(a, b):
+            c, e = chamfer_match_cost_tpu(a, b, reduction)
+            return jnp.sum(c) + 0.5 * jnp.sum(e)
+
+        def golden(a, b):
+            return jnp.sum(ops.chamfer(a, b, reduction=reduction)) + 0.5 * jnp.sum(
+                ops.match_cost(a, b)
+            )
+
+        gt = jax.grad(fused, argnums=(0, 1))(x, y)
+        gr = jax.grad(golden, argnums=(0, 1))(x, y)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=1e-2)
+
+    def test_composite_fallback_uses_per_term_dispatchers(self, interpret_pallas, monkeypatch):
+        """When only the fused gate fails (n not a 512-multiple), the chamfer
+        term must still get its own Pallas kernel, not the jnp golden."""
+        from pccf.kernels import api
+        from pccf.kernels import ops
+        from pccf.kernels import pallas_chamfer
+
+        calls = []
+        orig = pallas_chamfer.chamfer_tpu
+
+        def spy(x, y, reduction='mean'):
+            calls.append(1)
+            return orig(x, y, reduction)
+
+        monkeypatch.setattr(pallas_chamfer, 'chamfer_tpu', spy)
+        monkeypatch.setattr(api, '_use_pallas', lambda: True)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32) / 2)
+        y = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32) / 2)
+        cham, emd = api.chamfer_match_cost(x, y)  # 256 % 512 != 0 -> fused gate fails
+        assert calls, 'chamfer term fell back to the jnp golden, not its Pallas kernel'
+        np.testing.assert_allclose(np.asarray(cham), np.asarray(ops.chamfer(x, y)), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(emd), np.asarray(ops.match_cost(x, y)), rtol=5e-4)
+
     def test_chamfer_sinkhorn_fused_matches_goldens(self, interpret_pallas):
         """Sinkhorn variant of the fused launch: chamfer = the row stabiliser
         the Gibbs-kernel build computes anyway."""

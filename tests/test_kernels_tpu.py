@@ -101,6 +101,39 @@ class TestPallasParity:
         for t, r in zip(gt, gr):
             np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
 
+    def test_chamfer_emd_fused_rectangular_sum(self):
+        """n != m (asymmetric marginals + 1/n-vs-1/m grad split) with the
+        'sum' reduction, on silicon."""
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.kernels import ops
+        from pccf.kernels.pallas_emd import chamfer_match_cost_tpu
+
+        rng = np.random.default_rng(12)
+        xs = jnp.asarray(rng.standard_normal((2, 512, 3)).astype(np.float32) / 2)
+        ys = jnp.asarray(rng.standard_normal((2, 1024, 3)).astype(np.float32) / 2)
+        cham, emd = chamfer_match_cost_tpu(xs, ys, 'sum')
+        np.testing.assert_allclose(
+            np.asarray(cham), np.asarray(ops.chamfer(xs, ys, reduction='sum')),
+            rtol=1e-5, atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(emd), np.asarray(ops.match_cost(xs, ys)), rtol=5e-4)
+
+        def fused(a, b):
+            c, e = chamfer_match_cost_tpu(a, b, 'sum')
+            return jnp.sum(c) + 0.5 * jnp.sum(e)
+
+        def golden(a, b):
+            return jnp.sum(ops.chamfer(a, b, reduction='sum')) + 0.5 * jnp.sum(
+                ops.match_cost(a, b)
+            )
+
+        gt = jax.grad(fused, argnums=(0, 1))(xs, ys)
+        gr = jax.grad(golden, argnums=(0, 1))(xs, ys)
+        for t, r in zip(gt, gr):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=1e-2)
+
     def test_graph_max_pool(self):
         import jax
         import jax.numpy as jnp
