@@ -123,6 +123,9 @@ class CounterfactualServer:
 
         import functools
 
+        # kept for pccf.export: the exported counterfactual reproduces the
+        # same base_key/fold_in determinism structure from this seed
+        self.seed = int(seed)
         base_key = jax.random.key(seed)
         n_out = int(self._vq_module.n_inference_output_points)
         sample_dim = int(self._vq_module.decoder.sample_dim)
