@@ -293,6 +293,15 @@ class GenerationOptions:
 
 
 @dataclass
+class ExportOptions:
+    """Deployment-artifact export (export_artifact.py / pccf.export)."""
+
+    path: str | None = None  # default: <version_dir>/artifacts/<name>
+    platforms: tuple[str, ...] = dataclasses.field(default_factory=tuple)  # () = current
+    include_generate: bool = True
+
+
+@dataclass
 class TrackerList:
     wandb: bool
     hydra: bool
@@ -328,6 +337,7 @@ class UserSettings:
     n_inference_output_points: int
     load_checkpoint: int = -1
     counterfactual_value: PositiveFloat = 1.0
+    export: ExportOptions = dataclasses.field(default_factory=ExportOptions)
 
     def __post_init__(self) -> None:
         self.path = PathSpecs()

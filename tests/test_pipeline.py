@@ -106,6 +106,20 @@ def test_full_pipeline(cfg, experiment):
         clouds = generate_random_samples(cfg)
         assert clouds.shape == (2, 64, 3)
         assert np.isfinite(clouds).all()
+        # deployment artifact: export the trained checkpoints, reload with
+        # no model code, and check the exported classifier agrees
+        from export_artifact import export_from_config
+        from pccf.export import load_artifact
+
+        manifest = export_from_config(cfg)
+        art_dir = cfg.user.path.version_dir / 'artifacts' / cfg.name
+        art = load_artifact(art_dir)
+        test_clouds = np.asarray(clouds[:2], np.float32)
+        logits = art.classify(test_clouds)
+        assert logits.shape == (2, cfg.data.dataset.n_classes)
+        recon = art.counterfactual(test_clouds, 0, logits)
+        assert recon.shape == (2, manifest['n_out'], 3)
+        assert np.isfinite(recon).all()
 
 
 def test_emd_finetune_resumes_merged_checkpoint(cfg):
