@@ -35,6 +35,7 @@ Design:
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import Any, Sequence
 
@@ -44,6 +45,9 @@ import numpy as np
 from jax import export as jax_export
 
 from pccf.data.structures import Inputs
+from pccf.kernels import api as kapi
+
+logger = logging.getLogger(__name__)
 
 Array = jax.Array
 
@@ -77,14 +81,26 @@ def _export_endpoint(fn, arg_specs_of, buckets, platform, out_dir: Path, name: s
         fname = f'{name}.{platform}.hlo'
         (out_dir / fname).write_bytes(exp.serialize())
         return {'poly': fname}
-    except Exception:
+    except Exception as e:
+        # expected for endpoints whose trace genuinely needs a concrete batch
+        # (e.g. data-dependent reshapes) — but say so loudly and record why,
+        # so a regression of the polymorphic path (which costs consumers one
+        # compile per bucket instead of one total) never passes silently
+        logger.warning(
+            'symbolic-batch export of %s for %s failed (%s: %.200s); '
+            'falling back to per-bucket artifacts',
+            name,
+            platform,
+            type(e).__name__,
+            e,
+        )
         files = {}
         for b in buckets:
             exp = jax_export.export(jitted, platforms=[platform])(*arg_specs_of(int(b)))
             fname = f'{name}.{platform}.b{b}.hlo'
             (out_dir / fname).write_bytes(exp.serialize())
             files[str(int(b))] = fname
-        return {'buckets': files}
+        return {'buckets': files, 'poly_error': f'{type(e).__name__}: {str(e)[:200]}'}
 
 
 def export_server(
@@ -107,8 +123,6 @@ def export_server(
     seeds), ``classify`` (when the server holds a classifier), and
     ``generate`` (probs, z1_bias, seed, chunk) unless disabled.
     """
-    import os
-
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     platforms = tuple(platforms) if platforms else (_current_platform(),)
@@ -159,12 +173,12 @@ def export_server(
         )
 
     endpoints: dict[str, Any] = {}
-    saved_backend = os.environ.get('PCCF_KERNEL_BACKEND')
-    try:
-        for platform in platforms:
-            # pin the kernel dispatch to the TARGET platform during tracing
-            # (api._use_pallas consults the env, not the lowering target)
-            os.environ['PCCF_KERNEL_BACKEND'] = 'pallas' if platform == 'tpu' else 'jnp'
+    for platform in platforms:
+        # pin the kernel dispatch to the TARGET platform during tracing
+        # (api._use_pallas consults the backend override, not the lowering
+        # target); force_backend is thread-scoped, so concurrent traces in
+        # other threads (e.g. a live server compiling a bucket) are unaffected
+        with kapi.force_backend('pallas' if platform == 'tpu' else 'jnp'):
             endpoints.setdefault('counterfactual', {})[platform] = _export_endpoint(
                 cf_fn, cf_specs, server.buckets, platform, path, 'counterfactual'
             )
@@ -186,11 +200,6 @@ def export_server(
                 endpoints.setdefault('generate', {})[platform] = _export_endpoint(
                     gen_fn, gen_specs, server.buckets, platform, path, 'generate'
                 )
-    finally:
-        if saved_backend is None:
-            os.environ.pop('PCCF_KERNEL_BACKEND', None)
-        else:
-            os.environ['PCCF_KERNEL_BACKEND'] = saved_backend
 
     import pccf
 

@@ -4,11 +4,15 @@ Mirrors the reference's dual-backend pattern (pykeops on CUDA / torch on CPU,
 src/utils/neighbour_ops.py:27-33): on TPU the fused Pallas kernels run; on
 CPU (tests, virtual meshes) the pure-jnp golden implementations run.
 
-Backend override: ``PCCF_KERNEL_BACKEND`` env var ('pallas' | 'jnp' | 'auto').
+Backend override: ``PCCF_KERNEL_BACKEND`` env var ('pallas' | 'jnp' | 'auto'),
+or — taking precedence, and scoped to the calling thread — the
+:func:`force_backend` context manager.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 
 import jax
@@ -17,9 +21,30 @@ from pccf.kernels import ops
 
 Array = jax.Array
 
+# thread-scoped override: contextvars give each thread its own value, so a
+# trace pinned by force_backend (e.g. pccf.export targeting another platform)
+# cannot poison a concurrent trace in a serving thread the way mutating the
+# process-global env var would
+_FORCED_BACKEND: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    'pccf_kernel_backend', default=None
+)
+
+
+@contextlib.contextmanager
+def force_backend(mode: str):
+    """Pin kernel dispatch to ``'pallas'`` | ``'jnp'`` | ``'auto'`` for the
+    calling thread until the ``with`` block exits."""
+    if mode not in ('pallas', 'jnp', 'auto'):
+        raise ValueError(f'unknown kernel backend {mode!r}')
+    token = _FORCED_BACKEND.set(mode)
+    try:
+        yield
+    finally:
+        _FORCED_BACKEND.reset(token)
+
 
 def _use_pallas() -> bool:
-    mode = os.environ.get('PCCF_KERNEL_BACKEND', 'auto')
+    mode = _FORCED_BACKEND.get() or os.environ.get('PCCF_KERNEL_BACKEND', 'auto')
     if mode == 'pallas':
         return True
     if mode == 'jnp':

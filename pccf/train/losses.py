@@ -119,7 +119,10 @@ def get_recon_loss(cfg) -> Objective:
     if recon == ReconLosses.ChamferEMD and not cfg.user.cpu:
         chamfer_term, emd_term = get_chamfer_emd_losses()
         return chamfer_term + emd_term
-    if recon == ReconLosses.ChamferSinkhorn and not cfg.user.cpu:
+    if recon == ReconLosses.ChamferSinkhorn:
+        # no cpu gate: Sinkhorn is a pccf extension the user explicitly
+        # opted into (no reference-parity reason to drop it), and the jnp
+        # golden path the api dispatches to off-TPU is cheap enough
         chamfer_term, sinkhorn_term = get_chamfer_sinkhorn_losses()
         return chamfer_term + sinkhorn_term
     return get_chamfer_loss()
@@ -207,7 +210,12 @@ def get_kld_loss(cfg) -> Objective:
 
 
 def get_nll_loss() -> Objective:
-    """Codebook-distance NLL (metrics_and_losses.py:174-184)."""
+    """Codebook-distance NLL (metrics_and_losses.py:174-184).
+
+    Quirk preserved from the reference: the normalizer sums the squared
+    distances themselves (``sum(w_dist_2)``, reference line 179), NOT the
+    inverse-distance ``w_weights`` its name suggests — so the term is
+    ``log(sum d^2) + log(d^2_selected)`` exactly as published."""
 
     def _nll(data: Outputs, targets: WTargets) -> Array:
         w_weights = 1.0 / jnp.clip(data.w_dist_2, 1e-6, None)

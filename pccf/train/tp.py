@@ -42,8 +42,10 @@ def _tp_opt_state(tx, params: Any, mesh: Mesh, min_size: int) -> Any:
 def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
     """TrainState with column-parallel params and a matching optimiser state.
 
-    The optimiser state is initialised under jit from the sharded parameters,
-    so its leaves inherit the parameter layout via sharding propagation.
+    The moments are explicitly re-sharded to the parameter layout by
+    :func:`_tp_opt_state` (``jit(tx.init)`` alone would leave them
+    replicated — see its docstring; the explicit ``shard_params_tp`` call
+    is load-bearing).
 
     Deliberately avoids ``trainer.prepare()``: that would materialise the
     fully-replicated data-parallel TrainState (params + fresh Adam moments on
@@ -54,15 +56,30 @@ def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
         trainer._tx = trainer._make_tx()
     params = shard_params_tp(jax.device_get(trainer.model.params), mesh, min_size=min_size)
     opt_state = _tp_opt_state(trainer._tx, params, mesh, min_size)
+    step = trainer.model.epoch * trainer._steps_per_epoch()
+    if step:
+        # same weights-only-resume alignment as Trainer._ensure_state and
+        # TPTrainer._ensure_state: the LR schedule reads optax's internal
+        # count, which init set to 0 — without this a probe on a resumed
+        # model applies schedule(0) while the DP step it is compared
+        # against applies schedule(step)
+        from pccf.train.runners import _set_opt_counts
+
+        opt_state = _set_opt_counts(opt_state, step)
+        repl = NamedSharding(mesh, P())
+        opt_state = jax.tree.map(
+            lambda leaf: jax.device_put(leaf, repl)
+            if getattr(leaf, 'ndim', None) == 0
+            else leaf,
+            opt_state,
+        )
     stats = trainer.model.batch_stats
     stats = jax.device_get(stats) if stats is not None else {}
     return TrainState(
         params=params,
         batch_stats=stats,
         opt_state=opt_state,
-        # mirror Trainer._ensure_state's bookkeeping (runners.py) so a
-        # mid-training probe state records the same logical step
-        step=jnp.asarray(trainer.model.epoch * trainer._steps_per_epoch(), jnp.int32),
+        step=jnp.asarray(step, jnp.int32),
     )
 
 

@@ -387,3 +387,52 @@ class TestDispatchGates:
         monkeypatch.setenv('PCCF_KNN_GROUP', '2')
         b = np.asarray(knn_tpu(x, 5))
         np.testing.assert_array_equal(a, b)  # same result, different schedule
+
+
+class TestForceBackend:
+    def test_force_backend_overrides_env(self, monkeypatch):
+        from pccf.kernels import api
+
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        assert not api._use_pallas()
+        with api.force_backend('pallas'):
+            assert api._use_pallas()
+        assert not api._use_pallas()
+
+    def test_force_backend_rejects_unknown(self):
+        from pccf.kernels import api
+
+        with pytest.raises(ValueError):
+            with api.force_backend('cuda'):
+                pass
+
+    def test_force_backend_is_thread_scoped(self):
+        """A force_backend pin in one thread (e.g. pccf.export targeting
+        another platform) must not leak into concurrent dispatch decisions in
+        other threads (regression: export_server mutated the process-global
+        env var)."""
+        import threading
+
+        from pccf.kernels import api
+
+        pinned = threading.Event()
+        release = threading.Event()
+        observed = []
+
+        def exporter():
+            with api.force_backend('pallas'):
+                pinned.set()
+                release.wait(timeout=10)
+
+        def server():
+            pinned.wait(timeout=10)
+            observed.append(api._use_pallas())  # CPU test env: auto -> False
+            release.set()
+
+        t1 = threading.Thread(target=exporter)
+        t2 = threading.Thread(target=server)
+        t1.start(), t2.start()
+        t1.join(timeout=15), t2.join(timeout=15)
+        assert observed == [False], (
+            f'force_backend leaked across threads: other thread saw pallas={observed}'
+        )

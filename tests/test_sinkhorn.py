@@ -147,3 +147,19 @@ class TestSinkhornWiring:
 
 if __name__ == '__main__':
     pytest.main([__file__, '-x', '-q'])
+
+
+class TestSinkhornCpuOptIn:
+    def test_recon_loss_keeps_surrogate_on_cpu(self):
+        """ChamferSinkhorn is an explicit opt-in with no reference-parity
+        reason to drop the surrogate term off-TPU (unlike ChamferEMD, whose
+        cpu gate mirrors the reference's accelerated-path-only EMD): under
+        user.cpu=true the objective must still carry both terms, dispatched
+        to the jnp golden path (regression: the cpu gate silently degraded
+        the objective to plain Chamfer)."""
+        from pccf.config import get_config_all
+        from pccf.train.losses import get_recon_loss
+
+        cfg = get_config_all(['autoencoder/objective=chamfer_sinkhorn', 'user.cpu=true'])
+        loss = get_recon_loss(cfg)
+        assert set(loss.calculations) == {'Chamfer', 'EMD'}

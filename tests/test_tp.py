@@ -302,3 +302,55 @@ class TestTensorParallel:
         assert all(c == expected for c in found), (
             f'opt counts not aligned with step {expected}: {found}'
         )
+
+    def test_tp_state_probe_aligns_opt_counts(self, setup):
+        """tp_state (the one-shot tp_train_step probe path) must align optax's
+        internal counts with the resumed model's logical step exactly like
+        TPTrainer._ensure_state — otherwise a probe on a mid-training model
+        applies schedule(0) while the DP step it is compared against applies
+        schedule(step) (regression: tp_state set only TrainState.step)."""
+        from pccf.train.tp import tp_state
+
+        cfg, module, _, _, inputs, _ = setup
+        cloud = np.asarray(inputs.cloud)
+
+        class _DS:
+            def __len__(self):
+                return BATCH
+
+            def __getitem__(self, i):
+                return (Inputs(cloud=cloud[i]), Targets(ref_cloud=cloud[i], label=np.int64(0)))
+
+        model = Model(module, name='tp-probe-resume-test', seed=0)
+        model.initialize(
+            Inputs(cloud=cloud[:1]), np.zeros((1, 2), np.float32), method='full_init'
+        )
+        model.epoch = 4  # as after a weights-only load_state(4)
+        trainer = Trainer(
+            model,
+            DataLoader(_DS(), BATCH),
+            get_autoencoder_loss(cfg),
+            get_learning_schema(cfg.autoencoder),
+        )
+        state = tp_state(trainer, make_2d_mesh(8, mp=2), min_size=32)
+        expected = 4 * trainer._steps_per_epoch()
+        assert int(state.step) == expected
+
+        def counts(node, out):
+            if hasattr(node, '_fields'):
+                for f in node._fields:
+                    v = getattr(node, f)
+                    if f == 'count':
+                        out.append(int(np.asarray(v)))
+                    else:
+                        counts(v, out)
+            elif isinstance(node, (tuple, list)):
+                for v in node:
+                    counts(v, out)
+            return out
+
+        found = counts(state.opt_state, [])
+        assert found, 'optimiser state exposes no count fields'
+        assert all(c == expected for c in found), (
+            f'opt counts not aligned with step {expected}: {found}'
+        )
