@@ -47,7 +47,7 @@ class ModelNet40Split(PointCloudDataset):
     """One partition view (reference modelnet.py:21-60)."""
 
     def __init__(self, pcd, indices, labels, cfg_data, seed: int = 0) -> None:
-        self.pcd = pcd.astype(np.float32)
+        self.pcd = np.asarray(pcd, np.float32)  # no copy: load_h5 already yields f32
         self.indices = indices
         self.labels = labels
         self.input_points = cfg_data.n_input_points
@@ -144,6 +144,18 @@ class ModelNet40Dataset(SplitCreator):
                 cfg_data.n_neighbors,
             )
             if cfg_data.dataset.n_classes == 40:
+                # the 40-class path keeps EVERY sample (reference
+                # modelnet.py:98-99) but still remaps through label_map; a
+                # select_classes list that doesn't cover all 40 would crash
+                # np.vectorize on a None label deep in construction (the
+                # reference has the same latent failure) — validate here
+                missing = sorted(set(range(len(self.classes))) - set(selected_labels))
+                if missing:
+                    raise ValueError(
+                        f'dataset.n_classes=40 keeps all samples, so '
+                        f'select_classes must cover all 40 classes; missing: '
+                        f'{[self.classes[i] for i in missing]}'
+                    )
                 sel = slice(None)
             else:
                 sel = np.isin(labels, selected_labels)

@@ -397,7 +397,13 @@ class CounterfactualServer:
     ) -> None:
         """Eagerly compile the given (default: all) buckets, covering every
         production entry point: counterfactual (prepack + steady-state),
-        the classifier path when present, and (optionally) generate."""
+        the classifier path when present, and (optionally) generate.
+
+        Stats-neutral: warmup drives the real entry points, but its synthetic
+        traffic must not inflate the public ``stats`` counters operators read
+        for throughput/padding accounting."""
+        with self._stats_lock:
+            before = dict(self.stats)
         for b in buckets or self.buckets:
             cloud = np.zeros((b, n_points, 3), np.float32)
             logits = np.zeros((b, n_classes), np.float32)
@@ -414,3 +420,5 @@ class CounterfactualServer:
                 # compile that variant too or the first conditional
                 # generate(probs=...) stalls on a fresh trace
                 self.generate(b, probs=np.full((b, n_classes), 1.0 / n_classes, np.float32))
+        with self._stats_lock:
+            self.stats.update(before)

@@ -80,7 +80,6 @@ class _Runner:
     def _build_eval(self):
         module = self.model.module
         objective = self.objective
-        has_stats = self.model.batch_stats is not None
 
         def eval_step(variables, inputs, targets, rng, epoch):
             rngs = {'sampling': rng, 'dropout': jax.random.fold_in(rng, 1)}
@@ -89,7 +88,6 @@ class _Runner:
             _, metrics = objective.loss_and_metrics(outputs, targets)
             return metrics, outputs
 
-        del has_stats
         return jax.jit(eval_step)
 
     def __call__(self, store_outputs: bool = False) -> dict[str, float]:
@@ -443,6 +441,11 @@ class Trainer:
 
         self.model.load_state(checkpoint)
         self._state = None
+        # the compiled step bakes the optimiser object and the non-trained
+        # collections (the `extra` closure in _build_train_step) in as
+        # compile-time constants; a restored checkpoint may carry different
+        # ones, so force a rebuild on the next step
+        self._train_fn = None
         state = self._ensure_state()
         opt_path = (self.model.checkpoint.directory / f'epoch_{self.model.epoch}_opt').resolve()
         if opt_path.exists():

@@ -315,3 +315,18 @@ class TestWarmup:
         # warmup after traffic does not reset prepack state
         srv.warmup(N_IN, cfg.data.dataset.n_classes, generate=False)
         assert srv._prepacked
+
+
+class TestWarmupStats:
+    def test_warmup_is_stats_neutral(self, server):
+        """warmup drives the real entry points; its synthetic traffic must not
+        inflate the public stats counters operators read for throughput and
+        padding accounting (regression: warmup left ~2+2*sum(buckets) in
+        'served' before the first production request)."""
+        srv = server
+        base = dict(srv.stats)
+        srv.warmup(N_IN, 2, generate=False)
+        assert srv.stats == base
+        srv.counterfactual(_clouds(1, seed=21), 0, np.zeros((1, 2), np.float32), 1.0)
+        assert srv.stats['served'] == base['served'] + 1
+        assert srv.stats['batches'] == base['batches'] + 1

@@ -143,6 +143,13 @@ class TestClassifierE2E:
             trainer.train_until(1)
             trainer.save_checkpoint()
 
+            # load_checkpoint must invalidate the compiled step: it bakes the
+            # non-param collections and the optimiser object in as constants,
+            # which a restored checkpoint may replace
+            assert trainer._train_fn is not None
+            trainer.load_checkpoint()
+            assert trainer._train_fn is None
+
             model2 = Model(module, name='DGCNN-R', seed=0)
             model2.initialize(init_in, train=False)
             trainer2 = Trainer(model2, loader, loss, schema)
