@@ -37,6 +37,12 @@ def initialize_distributed() -> None:
     error)."""
     import os
 
+    if jax.distributed.is_initialized():
+        # idempotent: every training entry point calls this in main() AND
+        # (when user.n_subprocesses is set) again inside
+        # DistributedWorker.spawn — a second jax.distributed.initialize
+        # raises RuntimeError, which must not read as a multi-host failure
+        return
     intent = any(
         os.environ.get(k)
         for k in (
@@ -50,7 +56,7 @@ def initialize_distributed() -> None:
     except (RuntimeError, ValueError):
         if intent:
             raise
-        # already initialised, or a genuine single-process run
+        # a genuine single-process run (no coordinator discoverable)
 
 
 @functools.lru_cache(maxsize=8)
@@ -101,8 +107,9 @@ def shard_batch(batch: Any, mesh: Mesh, strict: bool = False) -> Any:
         x = np.asarray(x)
         divisible = x.ndim >= 1 and x.shape[0] % n == 0
         if strict and not divisible:
+            batch_dim = x.shape[0] if x.ndim >= 1 else f'(0-d leaf of shape {x.shape})'
             raise ValueError(
-                f'training batch dim {x.shape[0]} is not divisible by the '
+                f'training batch dim {batch_dim} is not divisible by the '
                 f'{n}-device mesh; fix batch_size (specs.py validator)'
             )
         return jax.device_put(x, sharded if divisible else repl)

@@ -170,7 +170,7 @@ def gather_neighbors(x: Array, idx: Array) -> Array:
     if _use_pallas():
         from pccf.kernels.pallas_gather import gather_pool_supported, gather_neighbors_tpu
 
-        if gather_pool_supported(x.shape[1], x.shape[2]):
+        if gather_pool_supported(x.shape[1], x.shape[2], idx.shape[-1]):
             return gather_neighbors_tpu(x, idx)
     return ops.gather_neighbors(x, idx)
 

@@ -31,9 +31,14 @@ _TILE_N = 256
 _VMEM_BUDGET = int(100e6)
 
 
-def gather_pool_supported(n: int, c: int) -> bool:
-    """True when (N, C) features fit the kernel's VMEM residency + tiling."""
-    return n % _TILE_N == 0 and n * c * 4 * 3 <= _VMEM_BUDGET
+def gather_pool_supported(n: int, c: int, k: int = 0) -> bool:
+    """True when (N, C) features fit the kernel's VMEM residency + tiling.
+
+    ``k``: the gather kernel's output block is (k, 256, C) ON TOP of the
+    resident (N, C) feature tile, so its VMEM footprint scales with the
+    neighbour count; pass ``idx.shape[-1]`` when gating the gather. The pool
+    kernels write a k-independent (256, C) block and pass no k."""
+    return n % _TILE_N == 0 and n * c * 4 * 3 + k * _TILE_N * c * 4 <= _VMEM_BUDGET
 
 
 def _unroll() -> int:

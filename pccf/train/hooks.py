@@ -229,6 +229,21 @@ class DiscreteSpaceOptimizer:
 # ------------------------------------------------------- reconstruction logs
 
 
+def _reconstruct(trainer: Trainer, dataset: Any, num: int) -> np.ndarray:
+    """Stack the first ``num`` samples, shard on the TRAINER's mesh (which may
+    be a sub-mesh when batch_size is not divisible by the device count —
+    sharding on get_mesh() here would clash with where the variables live),
+    and return the reconstructions as a host array."""
+    from pccf.data.structures import Inputs
+    from pccf.dist import shard_batch
+
+    items = [dataset[i] for i in range(num)]
+    cloud = np.stack([np.asarray(it[0].cloud) for it in items])
+    inputs = shard_batch(Inputs(cloud=cloud), trainer.mesh)
+    outputs = trainer.model(inputs, train=False, rng=jax.random.key(7))
+    return np.asarray(jax.device_get(outputs.recon))
+
+
 class TensorBoardLogReconstruction:
     """Log sample reconstructions as 3D meshes (reference hooks.py:122-162)."""
 
@@ -247,15 +262,7 @@ class TensorBoardLogReconstruction:
             )
 
     def __call__(self, trainer: Trainer) -> None:
-        from pccf.data.structures import Inputs
-        from pccf.dist import get_mesh, shard_batch
-
-        items = [self._dataset[i] for i in range(self._num)]
-        cloud = np.stack([np.asarray(it[0].cloud) for it in items])
-        inputs = shard_batch(Inputs(cloud=cloud), get_mesh())
-        outputs = trainer.model(inputs, train=False, rng=jax.random.key(7))
-        recons = np.asarray(jax.device_get(outputs.recon))
-        for i, recon in enumerate(recons):
+        for i, recon in enumerate(_reconstruct(trainer, self._dataset, self._num)):
             self.writer.add_mesh(f'Recon {i}', vertices=recon[None], global_step=trainer.model.epoch)
 
 
@@ -270,8 +277,6 @@ class WandbLogReconstruction:
         self._dataset = dataset
         self._num = num_samples
         self.run = WandbTracker.require_current().run
-        import wandb
-
         for i in range(num_samples):
             inputs, targets = dataset[i]
             self.run.log({f'Sample {i} with label: {int(targets.label)}': wandb.Object3D(np.asarray(inputs.cloud))})
@@ -279,12 +284,5 @@ class WandbLogReconstruction:
     def __call__(self, trainer: Trainer) -> None:
         import wandb
 
-        from pccf.data.structures import Inputs
-        from pccf.dist import get_mesh, shard_batch
-
-        items = [self._dataset[i] for i in range(self._num)]
-        cloud = np.stack([np.asarray(it[0].cloud) for it in items])
-        inputs = shard_batch(Inputs(cloud=cloud), get_mesh())
-        outputs = trainer.model(inputs, train=False, rng=jax.random.key(7))
-        for i, recon in enumerate(np.asarray(jax.device_get(outputs.recon))):
+        for i, recon in enumerate(_reconstruct(trainer, self._dataset, self._num)):
             self.run.log({f'Recon {i}': wandb.Object3D(recon)})

@@ -81,3 +81,92 @@ class TestLauncher:
 
         with pytest.raises(RuntimeError):
             DistributedWorker(lambda cfg: None, 99).spawn({})
+
+
+class TestInitializeDistributed:
+    def test_idempotent_when_already_initialized(self, monkeypatch):
+        """Every training entry point calls initialize_distributed in main()
+        AND again inside DistributedWorker.spawn; the second call must be a
+        no-op instead of letting jax.distributed.initialize raise
+        RuntimeError (which, under a coordinator env var, would abort exactly
+        the multi-host startup the function exists for)."""
+        import jax
+
+        from pccf.dist.mesh import initialize_distributed
+
+        calls = []
+        monkeypatch.setattr(jax.distributed, 'is_initialized', lambda: True)
+        monkeypatch.setattr(
+            jax.distributed,
+            'initialize',
+            lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(RuntimeError('twice')),
+        )
+        monkeypatch.setenv('JAX_COORDINATOR_ADDRESS', 'localhost:1234')
+        initialize_distributed()  # must return without touching initialize
+        assert not calls
+
+
+class TestShardBatchStrict:
+    def test_zero_d_leaf_raises_value_error(self):
+        """The strict diagnostic must not itself crash with IndexError when a
+        0-d leaf (e.g. a scalar epoch field) makes the batch indivisible."""
+        import pytest as _pytest
+
+        mesh = get_mesh()
+        with _pytest.raises(ValueError, match='0-d leaf'):
+            shard_batch({'x': np.float32(3.0)}, mesh, strict=True)
+
+
+class TestReconstructionHookMesh:
+    def test_reconstruct_uses_trainer_submesh(self):
+        """The reconstruction-logging hooks must shard their sample batch on
+        the TRAINER's mesh: when batch_size forces a gcd sub-mesh, the model
+        variables live there, and sharding the hook inputs on the full
+        get_mesh() raises 'incompatible devices' (regression: hooks called
+        get_mesh() directly)."""
+        from pccf.config import get_config_all
+        from pccf.models import get_autoencoder
+        from pccf.data.structures import Inputs, Targets
+        from pccf.train import DataLoader, Model, Trainer, get_autoencoder_loss, get_learning_schema
+        from pccf.train.hooks import _reconstruct
+
+        cfg = get_config_all(
+            [
+                'data/dataset=synthetic',
+                'data.dataset.n_classes=2',
+                'data.n_input_points=128',
+                'data.n_target_points=128',
+                'data.n_neighbors=8',
+                'autoencoder.model.w_dim=64',
+                'autoencoder.model.embedding_dim=4',
+                'autoencoder.model.book_size=8',
+                'autoencoder.model.encoder.n_neighbors=8',
+                'autoencoder.model.decoder.map_dims=[16]',
+                'autoencoder.model.decoder.conv_dims=[32,16]',
+                'autoencoder.model.decoder.n_components=2',
+                'autoencoder.model.decoder.sample_dim=4',
+                'autoencoder.objective.recon_loss=Chamfer',
+                'autoencoder.train.batch_size=4',
+                'user.seed=0',
+            ]
+        )
+        rng = np.random.default_rng(0)
+        cloud = rng.standard_normal((4, 128, 3)).astype(np.float32)
+
+        class _DS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return (Inputs(cloud=cloud[i]), Targets(ref_cloud=cloud[i], label=np.int64(0)))
+
+        model = Model(get_autoencoder(cfg), name='hook-mesh-test', seed=0)
+        model.initialize(Inputs(cloud=cloud[:1]), np.zeros((1, 2), np.float32), method='full_init')
+        # batch_size 4 on 8 devices -> Trainer falls back to a gcd sub-mesh
+        trainer = Trainer(
+            model, DataLoader(_DS(), 4), get_autoencoder_loss(cfg), get_learning_schema(cfg.autoencoder)
+        )
+        assert trainer.mesh.devices.size < jax.device_count(), 'expected a gcd sub-mesh'
+        trainer.train_until(1)  # variables now live on the sub-mesh
+        recons = _reconstruct(trainer, _DS(), 2)
+        assert recons.shape[0] == 2 and np.isfinite(recons).all()

@@ -436,3 +436,36 @@ class TestForceBackend:
         assert observed == [False], (
             f'force_backend leaked across threads: other thread saw pallas={observed}'
         )
+
+
+class TestGatherGateK:
+    def test_gather_gate_scales_with_k(self):
+        """gather_neighbors_tpu's output block is (k, 256, C) on top of the
+        resident (N, C) tile, so the VMEM gate must reject large k where the
+        pool kernels (k-independent block) still fit (regression: the gate
+        ignored k, so large-k gathers failed Mosaic compilation at runtime
+        instead of falling back to jnp)."""
+        from pccf.kernels.pallas_gather import _VMEM_BUDGET, gather_pool_supported
+
+        n, c = 2048, 2048
+        assert gather_pool_supported(n, c)  # pool kernels: fits
+        # find a k that pushes the gather block past the budget
+        k = (_VMEM_BUDGET - n * c * 12) // (256 * c * 4) + 1
+        assert not gather_pool_supported(n, c, k)
+        assert gather_pool_supported(n, c, 1)
+
+    def test_gather_large_k_falls_back_to_jnp(self, monkeypatch):
+        from pccf.kernels import api
+        from pccf.kernels import pallas_gather
+
+        monkeypatch.setattr(api, '_use_pallas', lambda: True)
+        monkeypatch.setattr(
+            pallas_gather,
+            'gather_neighbors_tpu',
+            lambda *a: (_ for _ in ()).throw(AssertionError('kernel dispatched')),
+        )
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 256, 8)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 256, (1, 256, 200000)).astype(np.int32))
+        out = api.gather_neighbors(x, idx)  # k huge -> gate fails -> jnp golden
+        assert out.shape == (1, 256, 200000, 8)
