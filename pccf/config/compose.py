@@ -16,6 +16,7 @@ The result is a plain nested dict ready for pydantic validation.
 from __future__ import annotations
 
 import copy
+import functools
 import pathlib
 import re
 from typing import Any
@@ -43,9 +44,9 @@ class ComposeError(RuntimeError):
     pass
 
 
-def _read_yaml(path: pathlib.Path) -> tuple[dict[str, Any], str | None]:
-    """Read YAML; return (content, package directive)."""
-    text = path.read_text()
+@functools.lru_cache(maxsize=256)
+def _read_yaml_cached(path_str: str, _mtime_ns: int) -> tuple[dict[str, Any], str | None]:
+    text = pathlib.Path(path_str).read_text()
     package = None
     for line in text.splitlines()[:5]:
         m = re.match(r'#\s*@package\s+(\S+)', line)
@@ -56,8 +57,19 @@ def _read_yaml(path: pathlib.Path) -> tuple[dict[str, Any], str | None]:
     if data is None:
         data = {}
     if not isinstance(data, dict):
-        raise ComposeError(f'{path}: top-level YAML must be a mapping')
+        raise ComposeError(f'{path_str}: top-level YAML must be a mapping')
     return data, package
+
+
+def _read_yaml(path: pathlib.Path) -> tuple[dict[str, Any], str | None]:
+    """Read YAML; return (content, package directive).
+
+    Parse results are memoized on (path, mtime): composition consults each
+    group option file twice (content + package directive), and callers
+    mutate the returned dict — hence the defensive deepcopy, still far
+    cheaper than re-read + parse + number coercion."""
+    data, package = _read_yaml_cached(str(path), path.stat().st_mtime_ns)
+    return copy.deepcopy(data), package
 
 
 def _deep_merge(base: dict[str, Any], overlay: dict[str, Any]) -> dict[str, Any]:
@@ -221,7 +233,17 @@ def apply_overrides(tree: dict[str, Any], overrides: list[str]) -> dict[str, Any
         if not ov:
             continue
         if ov.startswith('~'):
-            _del_path(tree, ov[1:])
+            # Hydra grammar: '~a.b.c' deletes; '~a.b.c=v' also deletes (the
+            # value is advisory). Same friendly strictness as plain
+            # overrides: a typo'd path must not escape as a raw KeyError.
+            key = ov[1:].split('=', 1)[0]
+            try:
+                _del_path(tree, key)
+            except KeyError:
+                raise ComposeError(
+                    f'deletion override key {key!r} does not exist in the '
+                    f'composed config'
+                ) from None
             continue
         additive = ov.startswith('+')
         if additive:

@@ -59,7 +59,11 @@ def grad_norm_clipper(max_norm: float = 1.0) -> optax.GradientTransformation:
 class _HistState(NamedTuple):
     mean: Array  # running mean of the (log) norm
     var: Array  # running variance
-    count: Array
+    # deliberately NOT named 'count': runners._set_opt_counts rewrites every
+    # optax field of that name to the restored step on a weights-only resume,
+    # which here would fake a populated history (mean/var still zero) and
+    # zero every gradient via a threshold of 0 — history must restart instead
+    seen: Array
 
 
 def _criterion_threshold(criterion: str, mean: Array, var: Array) -> Array:
@@ -83,18 +87,21 @@ def hist_clipper(criterion: str = 'ZStat', decay: float = 0.9) -> optax.Gradient
     def update(updates, state, params=None):
         del params
         norm = optax.global_norm(updates)
-        first = state.count == 0
+        first = state.seen == 0
         # threshold against the PRIOR history (an outlier must not raise the
-        # bar it is judged by), then fold the clipped norm into the stats
+        # bar it is judged by), then fold the clipped norm into the stats.
+        # threshold > 0 guards the degenerate pinned-at-zero history (first
+        # norm exactly 0): clipping against 0 would zero every later gradient
+        # AND keep the stats at 0 forever
         threshold = _criterion_threshold(criterion, state.mean, state.var)
-        clip = (norm > threshold) & jnp.logical_not(first)
+        clip = (norm > threshold) & jnp.logical_not(first) & (threshold > 0)
         scale = jnp.where(clip, threshold / jnp.maximum(norm, 1e-12), 1.0)
         updates = jax.tree.map(lambda g: g * scale, updates)
-        eff_norm = jnp.minimum(norm, jnp.where(first, norm, threshold))
+        eff_norm = jnp.where(clip, threshold, norm)
         new_mean = jnp.where(first, norm, decay * state.mean + (1 - decay) * eff_norm)
         delta = eff_norm - new_mean
         new_var = jnp.where(first, 0.0, decay * state.var + (1 - decay) * delta * delta)
-        return updates, _HistState(new_mean, new_var, state.count + 1)
+        return updates, _HistState(new_mean, new_var, state.seen + 1)
 
     return optax.GradientTransformation(init, update)
 
@@ -102,7 +109,7 @@ def hist_clipper(criterion: str = 'ZStat', decay: float = 0.9) -> optax.Gradient
 class _ParamHistState(NamedTuple):
     mean: optax.Updates
     var: optax.Updates
-    count: Array
+    seen: Array  # not 'count' — see _HistState
 
 
 def param_hist_clipper(criterion: str = 'EMA', decay: float = 0.9) -> optax.GradientTransformation:
@@ -115,14 +122,14 @@ def param_hist_clipper(criterion: str = 'EMA', decay: float = 0.9) -> optax.Grad
 
     def update(updates, state, params=None):
         del params
-        first = state.count == 0
+        first = state.seen == 0
 
         def upd(g, m, v):
             norm = jnp.sqrt(jnp.sum(g * g))
             threshold = _criterion_threshold(criterion, m, v)
-            clip = (norm > threshold) & jnp.logical_not(first)
+            clip = (norm > threshold) & jnp.logical_not(first) & (threshold > 0)
             scale = jnp.where(clip, threshold / jnp.maximum(norm, 1e-12), 1.0)
-            eff_norm = jnp.minimum(norm, jnp.where(first, norm, threshold))
+            eff_norm = jnp.where(clip, threshold, norm)
             new_m = jnp.where(first, norm, decay * m + (1 - decay) * eff_norm)
             delta = eff_norm - new_m
             new_v = jnp.where(first, 0.0, decay * v + (1 - decay) * delta * delta)
@@ -135,7 +142,7 @@ def param_hist_clipper(criterion: str = 'EMA', decay: float = 0.9) -> optax.Grad
         new_updates = tree.unflatten([o[0] for o in out])
         new_mean = tree.unflatten([o[1] for o in out])
         new_var = tree.unflatten([o[2] for o in out])
-        return new_updates, _ParamHistState(new_mean, new_var, state.count + 1)
+        return new_updates, _ParamHistState(new_mean, new_var, state.seen + 1)
 
     return optax.GradientTransformation(init, update)
 
@@ -153,5 +160,7 @@ def get_grad_op(name: str | None, criterion: str = 'ZStat') -> optax.GradientTra
         'ParamHistClipper': lambda: param_hist_clipper(criterion),
     }
     if name not in registry:
-        return optax.identity()
+        # every GradOp enum member is covered above, so an unknown name is
+        # always a caller mistake — silently disabling clipping would hide it
+        raise ValueError(f'unknown gradient op {name!r}; expected one of {sorted(registry)}')
     return registry[name]()

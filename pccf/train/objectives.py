@@ -95,7 +95,27 @@ class Objective:
         Fresh closures from the same factory (``loss | get_emd_loss()``
         where the loss already holds an 'EMD' term — train_autoencoder's
         FinalTest under ChamferEMD) are the same calculation by
-        module+qualname and merge fine."""
+        module+qualname AND captured constants: two closures from one
+        factory with different captures (``get_annealing(cfg_a)`` vs
+        ``get_annealing(cfg_b)``) are different calculations, and merging
+        them would silently apply one schedule to both terms."""
+
+        def cells_equal(f, g):
+            cf = getattr(f, '__closure__', None) or ()
+            cg = getattr(g, '__closure__', None) or ()
+            if len(cf) != len(cg):
+                return False
+            for x, y in zip(cf, cg):
+                a_, b_ = x.cell_contents, y.cell_contents
+                if a_ is b_:
+                    continue
+                try:
+                    if bool(a_ == b_):
+                        continue
+                except Exception:
+                    return False  # incomparable captures: assume different
+                return False
+            return True
 
         def same(f, g):
             if f is g:
@@ -105,6 +125,7 @@ class Objective:
                 qf is not None
                 and qf == getattr(g, '__qualname__', None)
                 and getattr(f, '__module__', None) == getattr(g, '__module__', None)
+                and cells_equal(f, g)
             )
 
         for name in a.keys() & b.keys():

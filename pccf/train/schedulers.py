@@ -30,8 +30,11 @@ def cosine_scheduler(min_decay: float = 0.01, decay_steps: int = 100) -> Schedul
     return f
 
 
-def exponential_scheduler(exp_decay: float = 0.975, **_ignored) -> Schedule:
-    """Multiplicative decay per epoch."""
+def exponential_scheduler(exp_decay: float = 0.975) -> Schedule:
+    """Multiplicative decay per epoch.
+
+    Strict kwargs like :func:`cosine_scheduler`: a typo'd or leftover
+    settings key must raise, not silently fall back to the default decay."""
     return lambda epoch: exp_decay**epoch
 
 

@@ -11,9 +11,9 @@ artifact.
 from __future__ import annotations
 
 import csv
-import json
 import logging
 import pathlib
+import shutil
 import sqlite3
 from typing import Any
 
@@ -175,14 +175,15 @@ class HydraLinkTracker:
     the hydra output dir; composition here is native, so we keep the tree)."""
 
     def start(self, exp) -> None:
-        path = exp.exp_dir / 'composed_config.json'
+        # one serialization path: Experiment._dump_config already writes
+        # config.json for every run — alias it instead of re-implementing
+        # asdict+json here (which had drifted in error handling)
+        src = exp.exp_dir / 'config.json'
         try:
-            import dataclasses
-
-            path.write_text(json.dumps(dataclasses.asdict(exp.config), default=str, indent=2))
-        except (TypeError, ValueError, OSError) as err:
-            # config serialization is best-effort (non-dataclass configs in
-            # tests), but say so rather than silently dropping the artifact
+            if not src.exists():
+                exp._dump_config()
+            shutil.copyfile(src, exp.exp_dir / 'composed_config.json')
+        except OSError as err:
             logging.getLogger('pccf').warning('could not persist composed config: %s', err)
 
     def log_metrics(self, **kwargs) -> None:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import pathlib
 import sqlite3
 import time
@@ -82,21 +83,27 @@ class MedianPruner:
         ]
         if len(completed) < self.n_startup_trials:
             return False
+        # optuna MedianPruner semantics: the median is over completed trials'
+        # values AT this step (their running best would bias the bar low for
+        # noisy metrics and prune good-but-noisy configurations); NaNs are
+        # excluded from the baseline
         at_step = [
-            min((v for s, v in t.intermediate_values.items() if s <= step), default=None)
-            if study.direction == 'minimize'
-            else max((v for s, v in t.intermediate_values.items() if s <= step), default=None)
+            t.intermediate_values[step]
             for t in completed
+            if step in t.intermediate_values
         ]
-        at_step = [v for v in at_step if v is not None]
+        at_step = [v for v in at_step if not math.isnan(v)]
         if len(at_step) < self.n_min_trials:
             return False
         median = float(np.median(at_step))
-        # compare the trial's BEST value so far (optuna MedianPruner
-        # semantics), not the latest — a noisy spike at the current epoch
-        # must not kill a trial whose smoothed best beats the median
+        # ...while the candidate side uses the trial's BEST value so far — a
+        # noisy spike at the current epoch must not kill a trial whose
+        # smoothed best beats the median
         trial_vals = [v for s, v in trial.intermediate_values.items() if s <= step]
-        value = min(trial_vals) if study.direction == 'minimize' else max(trial_vals)
+        finite = [v for v in trial_vals if not math.isnan(v)]
+        if not finite:
+            return True  # every reported value is NaN: the trial diverged
+        value = min(finite) if study.direction == 'minimize' else max(finite)
         return value > median if study.direction == 'minimize' else value < median
 
 
@@ -646,11 +653,17 @@ def visualize_study(study: Study, save_dir: str | pathlib.Path, renderer: str = 
     return out
 
 
-def make_sampler(kind: str, n_startup: int = 10, seed: int = 0) -> RandomSampler:
+def make_sampler(kind: str, n_startup: int = 10, seed: int | None = None) -> RandomSampler:
     """Config-driven sampler selection (``configs/tuning/optuna.yaml``).
 
     ``gp`` matches the reference's optuna GPSampler choice
-    (/root/reference/tune_autoencoder.py:60)."""
+    (/root/reference/tune_autoencoder.py:60).  ``seed=None`` draws fresh OS
+    entropy (optuna's default): a fixed default seed would make every
+    resumed/parallel worker replay the identical suggestion sequence, so
+    restarts duplicate earlier trials and concurrent workers explore the
+    same points."""
+    if seed is None:
+        seed = int.from_bytes(os.urandom(4), 'little')
     kinds = {
         'gp': lambda: GPSampler(seed=seed, n_startup=n_startup),
         'tpe': lambda: TPESampler(seed=seed, n_startup=n_startup),

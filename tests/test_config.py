@@ -171,3 +171,45 @@ class TestValidate:
         cfg = get_config_all()
         opt = cfg.autoencoder.train.learn.optimizer_cls(1e-3, **cfg.autoencoder.train.learn.opt_settings)
         assert hasattr(opt, 'init') and hasattr(opt, 'update')
+
+
+class TestDeletionOverrides:
+    def test_tilde_deletes_key(self):
+        tree = compose(CONFIG_DIR, overrides=['~data.resample'])
+        assert 'resample' not in tree['data']
+
+    def test_tilde_with_value_form(self):
+        """Hydra grammar also allows '~key=value' (value advisory)."""
+        tree = compose(CONFIG_DIR, overrides=['~data.resample=false'])
+        assert 'resample' not in tree['data']
+
+    def test_tilde_missing_key_is_compose_error(self):
+        """A typo'd deletion must produce the friendly ComposeError, not a
+        raw KeyError traceback (regression)."""
+        from pccf.config.compose import ComposeError
+
+        with pytest.raises(ComposeError, match='deletion override'):
+            compose(CONFIG_DIR, overrides=['~data.n_neighbor'])
+
+
+class TestReadYamlCache:
+    def test_rewritten_file_is_not_served_stale(self, tmp_path):
+        """_read_yaml memoizes on (path, mtime): rewriting a config file must
+        invalidate, and callers must get an independent copy (composition
+        mutates the returned dict)."""
+        import os
+        import time as _time
+
+        from pccf.config.compose import _read_yaml
+
+        p = tmp_path / 'c.yaml'
+        p.write_text('a: 1\n')
+        d1, _ = _read_yaml(p)
+        assert d1 == {'a': 1}
+        d1['mutated'] = True  # must not leak into the cache
+        d2, _ = _read_yaml(p)
+        assert d2 == {'a': 1}
+        p.write_text('a: 2\n')
+        os.utime(p, ns=(int(_time.time() * 1e9), int(_time.time() * 1e9) + 1))
+        d3, _ = _read_yaml(p)
+        assert d3 == {'a': 2}

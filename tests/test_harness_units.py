@@ -290,3 +290,76 @@ class TestFusedChamferEMD:
         np.testing.assert_allclose(float(lf), float(lu), rtol=1e-6)
         for k in mu:
             np.testing.assert_allclose(float(mf[k]), float(mu[k]), rtol=1e-6)
+
+
+class TestGradOpResumeAndDegenerates:
+    def _params(self):
+        return {'a': jnp.asarray([3.0, 4.0])}
+
+    def test_hist_clipper_survives_weights_only_resume(self):
+        """runners._set_opt_counts rewrites every optax field named 'count' to
+        the restored step on a weights-only resume; the history clippers'
+        state must not match that (regression: count=step with zero mean/var
+        faked a populated history, so threshold=0 zeroed every gradient and
+        froze training silently)."""
+        from pccf.train.runners import _set_opt_counts
+
+        op = hist_clipper('ZStat')
+        g = self._params()
+        state = _set_opt_counts(op.init(g), 1000)
+        out, _ = op.update(g, state)
+        np.testing.assert_allclose(np.asarray(out['a']), np.asarray(g['a']), rtol=1e-6)
+
+        op2 = param_hist_clipper('EMA')
+        state2 = _set_opt_counts(op2.init(g), 1000)
+        out2, _ = op2.update(g, state2)
+        np.testing.assert_allclose(np.asarray(out2['a']), np.asarray(g['a']), rtol=1e-6)
+
+    def test_hist_clipper_recovers_from_zero_first_norm(self):
+        """A first step with exactly-zero gradients must not pin the history
+        at 0 and scale every later gradient to 0 (threshold>0 guard)."""
+        op = hist_clipper('ZStat')
+        zeros = {'a': jnp.zeros(2)}
+        g = self._params()
+        _, state = op.update(zeros, op.init(zeros))
+        out, state = op.update(g, state)
+        np.testing.assert_allclose(np.asarray(out['a']), np.asarray(g['a']), rtol=1e-6)
+        assert float(state.mean) > 0  # stats recovered, not pinned
+
+    def test_unknown_grad_op_raises(self):
+        with pytest.raises(ValueError, match='unknown gradient op'):
+            get_grad_op('HistCliper')
+
+    def test_exponential_scheduler_rejects_unknown_settings(self):
+        from pccf.train.schedulers import exponential_scheduler
+
+        with pytest.raises(TypeError):
+            exponential_scheduler(exp_dekay=0.9)
+
+
+class TestMergeCalcsCaptures:
+    def test_same_factory_different_captures_collide(self):
+        """Two closures from one factory with different captured constants
+        are different calculations; merging them would silently apply one
+        captured value to both terms (regression: module+qualname matching
+        alone merged get_annealing(cfg_a) with get_annealing(cfg_b))."""
+
+        def factory(c):
+            def _f(o, t):
+                return c * o['x']
+
+            return Loss(_f, 'F')
+
+        with pytest.raises(ValueError, match='collision'):
+            _ = factory(1.0) + factory(2.0)
+
+    def test_same_factory_same_captures_merge(self):
+        def factory(c):
+            def _f(o, t):
+                return c * o['x']
+
+            return Loss(_f, 'F')
+
+        combined = factory(2.0) + factory(2.0)
+        out = combined.loss_value({'x': jnp.asarray([1.0])}, None)
+        assert float(out) == pytest.approx(4.0)

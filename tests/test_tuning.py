@@ -270,3 +270,68 @@ tune:
         assert len(trials) == 3
         assert all(t.state == TrialState.COMPLETE for t in trials)
         assert (tmp_path / 'db' / 'unit_study.db').exists()
+
+
+class TestPrunerNaN:
+    def test_nan_trial_is_pruned(self, tmp_path):
+        """A diverged trial reporting NaN must prune once the startup baseline
+        exists (regression: 'NaN > median' is False, so NaN trials ran all
+        their epochs); NaN intermediates in OTHER trials must not poison the
+        median for everyone."""
+        pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0, interval_steps=1, n_min_trials=2)
+        study = make_study(tmp_path, pruner=pruner)
+        seen_steps = {}
+
+        def objective(trial):
+            diverge = trial.number >= 2
+            value = 1.0
+            for step in range(6):
+                value = float('nan') if diverge else 1.0 + 0.01 * step
+                trial.report(value, step)
+                seen_steps[trial.number] = step
+                if trial.should_prune():
+                    raise TrialPruned()
+            return 0.0 if diverge else value
+
+        study.optimize(objective, n_trials=4)
+        trials = {t.number: t for t in study.get_trials()}
+        assert trials[2].state == TrialState.PRUNED
+        assert seen_steps[2] == 0  # pruned at the first NaN report
+        assert trials[3].state == TrialState.PRUNED
+
+    def test_baseline_nan_does_not_disable_pruning(self, tmp_path):
+        pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0, interval_steps=1, n_min_trials=1)
+        study = make_study(tmp_path, pruner=pruner)
+
+        def objective(trial):
+            # trials 0-1 complete WITH a NaN intermediate at step 0 but real
+            # values later; trial 2 is clearly worse and must still prune
+            bad = trial.number == 2
+            for step in range(4):
+                if step == 0 and not bad:
+                    trial.report(float('nan'), step)
+                else:
+                    trial.report(100.0 if bad else 1.0, step)
+                if trial.should_prune():
+                    raise TrialPruned()
+            return 1.0
+
+        study.optimize(objective, n_trials=3)
+        trials = {t.number: t for t in study.get_trials()}
+        assert trials[2].state == TrialState.PRUNED
+
+
+class TestSamplerSeeding:
+    def test_default_sampler_seed_is_fresh_entropy(self):
+        """make_sampler() without a seed must not replay one fixed rng stream:
+        a resumed or parallel study with seed=0 would duplicate earlier
+        startup trials exactly (regression: default seed=0)."""
+        a = tuning.make_sampler('random')
+        b = tuning.make_sampler('random')
+        draws_a = [a.rng.random() for _ in range(4)]
+        draws_b = [b.rng.random() for _ in range(4)]
+        assert draws_a != draws_b
+        # explicit seed stays reproducible
+        c = tuning.make_sampler('random', seed=7)
+        d = tuning.make_sampler('random', seed=7)
+        assert [c.rng.random() for _ in range(4)] == [d.rng.random() for _ in range(4)]
