@@ -87,6 +87,15 @@ class VQVAE(nn.Module):
     # ------------------------------------------------------ double paths
     def double_reconstruct(self, inputs: Inputs) -> Outputs:
         """Encode -> inner CVAE roundtrip -> decode (autoencoders.py:142-148)."""
+        if self.conditional:
+            # the conditional inner CVAE needs class logits; without this
+            # guard the failure is an opaque TypeError (None/temperature)
+            # deep inside temperature_softmax at trace time. Mirrors the
+            # reference split (autoencoders.py:142 vs :160).
+            raise ValueError(
+                'double_reconstruct on a conditional model: use '
+                'double_reconstruct_with_logits(inputs, logits)'
+            )
         w_q = self.encoder(inputs.cloud, inputs.indices, False)
         data = self.w_autoencoder(WInputs(w_q), self.codebook, False)
         return self._decode_from_idx(data, inputs)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pccf.kernels import api as kapi
-from pccf.nn.layers import DenseBlock, gumbel_softmax, temperature_softmax
+from pccf.nn.layers import DenseBlock, default_act, gumbel_softmax, temperature_softmax
 
 Array = jax.Array
 
@@ -138,7 +138,6 @@ class PCGenDecoder(nn.Module):
         Training keeps the XLA path (batch-stat BN + gradients); init keeps
         it too so the full param tree is materialised."""
         from pccf.kernels.pallas_pcgen import pcgen_fused_supported
-        from pccf.nn.layers import default_act
 
         # The kernel hard-codes the activation from its slope argument, so the
         # configured callable must positively match what act_name implies:

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pccf.kernels import api as kapi, ops
-from pccf.nn.layers import DenseBlock
+from pccf.nn.layers import DenseBlock, default_act, get_kernel_init
 
 Array = jax.Array
 
@@ -46,8 +46,6 @@ class EdgeConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, idx: Array | None, train: bool = False) -> Array:
-        from pccf.nn.layers import get_kernel_init
-
         if idx is None:
             idx = kapi.knn(x, self.k)
         c = x.shape[-1]
@@ -64,16 +62,11 @@ class EdgeConvBlock(nn.Module):
         s = jnp.dot(x, kernel[c:] - w_diff)  # (B, N, F): per-centre term
 
         # The streaming path is only valid for monotone-increasing activations
-        # (max commutes with act).  A blank act_name does not identify the
-        # callable, so positively check it against the known monotone ones;
-        # anything else falls through to the materialised (B, N, k, F) path.
-        from pccf.nn.layers import default_act
-
-        monotone = (
-            self.act is None
-            or self.act_name in ('LeakyReLU', 'ReLU')
-            or self.act in (default_act, jax.nn.relu, jax.nn.leaky_relu)
-        )
+        # (max commutes with act).  Identify the CALLABLE, not act_name — the
+        # config resolves activations to these shared callables (specs.py
+        # act_cls), and a hand-constructed block whose name claims 'ReLU' over
+        # a non-monotone act must not take the fast path on the name's word.
+        monotone = self.act is None or self.act in (default_act, jax.nn.relu, jax.nn.leaky_relu)
         if monotone:
             # Streaming path, train AND eval: BN is a per-channel affine, the
             # per-centre shift is constant over the k neighbours, and max
@@ -123,7 +116,11 @@ class EdgeConvBlock(nn.Module):
         pre = (pre - mean) * jax.lax.rsqrt(var + eps) * scale + bias
         if self.act is not None:
             pre = self.act(pre)
-        return jnp.max(pre, axis=2)  # (B, N, F)
+        # first-winner tie gradient (argmax is first-on-ties), matching
+        # ops.graph_max_pool's custom VJP on the streaming path — jnp.max
+        # would split tied cotangents evenly and diverge between paths
+        win = jnp.argmax(pre, axis=2, keepdims=True)
+        return jnp.take_along_axis(pre, win, axis=2)[:, :, 0, :]  # (B, N, F)
 
 
 class DGCNNEncoder(nn.Module):

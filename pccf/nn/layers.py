@@ -87,7 +87,18 @@ class DenseBlock(nn.Module):
                 raise ValueError('features not divisible by groups')
             gin = in_features // self.groups
             gout = self.features // self.groups
-            kernel = self.param('grouped_kernel', init, (self.groups, gin, gout))
+
+            def grouped_init(key, shape, dtype=jnp.float32):
+                # per-group fan: variance_scaling on the full (groups, gin,
+                # gout) shape would count the leading groups dim as receptive
+                # field (fan_in = groups*gin, std a factor sqrt(groups) too
+                # small), while torch's grouped conv — the reference init
+                # policy — uses fan_in = gin. Draw each group independently.
+                g, *group_shape = shape
+                keys = jax.random.split(key, g)
+                return jnp.stack([init(k, tuple(group_shape), dtype) for k in keys])
+
+            kernel = self.param('grouped_kernel', grouped_init, (self.groups, gin, gout))
             xg = x.reshape(*x.shape[:-1], self.groups, gin)
             y = jnp.einsum('...gi,gio->...go', xg, kernel)
             if use_bias:

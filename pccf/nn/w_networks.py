@@ -71,6 +71,9 @@ class ConvolutionalWEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        # act=None is deliberate parity: the reference builds these as
+        # PointsConvLayer(in, out) with act_cls defaulting to None
+        # (layers.py:98,114-115) — dense+BN stacks with no nonlinearity
         for i, f in enumerate(self.conv_dims):
             x = DenseBlock(f, act=None, name=f'conv_{i}')(x, train)
         return DenseBlock(2 * self.z1_dim, act=None, batch_norm=False, soft_init=True, name='head')(
@@ -145,8 +148,6 @@ class TransformerWDecoder(nn.Module):
 
     embedding_dim: int
     n_codes: int
-    z1_dim: int
-    z2_dim: int
     proj_dim: int
     n_heads: int
     mlp_dims: tuple[int, ...]
@@ -157,7 +158,8 @@ class TransformerWDecoder(nn.Module):
     def __call__(self, z1: Array, z2: Array, train: bool = False) -> Array:
         batch = z1.shape[0]
         # note: the reference sizes z1_proj by z2_dim (w_decoders.py:70); the
-        # configs keep z1_dim == z2_dim so behaviour is identical.
+        # configs keep z1_dim == z2_dim so behaviour is identical (the latent
+        # dims arrive through the z1/z2 array shapes, not module fields).
         # z1 may be (B, 1, z1_dim) when sampled from the unconditional prior
         # (w_autoencoders.py:226); broadcast across code tokens.
         z1p = DenseBlock(self.proj_dim, act=None, batch_norm=False, name='z1_proj')(z1, train)
@@ -206,7 +208,6 @@ class TransformerWConditionalEncoder(nn.Module):
 
     z2_dim: int
     n_codes: int
-    n_classes: int
     proj_dim: int
     n_heads: int
     mlp_dims: tuple[int, ...]
@@ -273,8 +274,6 @@ def get_w_decoder(cfg) -> nn.Module:
     return TransformerWDecoder(
         embedding_dim=ae.embedding_dim,
         n_codes=ae.n_codes,
-        z1_dim=wae.z1_dim,
-        z2_dim=wae.z2_dim,
         proj_dim=wd.proj_dim,
         n_heads=wd.n_heads,
         mlp_dims=tuple(wd.mlp_dims),
@@ -291,7 +290,6 @@ def get_conditional_w_encoder(cfg) -> nn.Module:
     return TransformerWConditionalEncoder(
         z2_dim=wae.z2_dim,
         n_codes=ae.n_codes,
-        n_classes=cfg.data.dataset.n_classes,
         proj_dim=cw.proj_dim,
         n_heads=cw.n_heads,
         mlp_dims=tuple(cw.mlp_dims),

@@ -367,7 +367,7 @@ class TestWFormerOnChip:
         from pccf.nn.w_networks import TransformerWDecoder
 
         dec = TransformerWDecoder(
-            embedding_dim=4, n_codes=256, z1_dim=16, z2_dim=16, proj_dim=512,
+            embedding_dim=4, n_codes=256, proj_dim=512,
             n_heads=8, mlp_dims=(1024, 1024, 1024, 512),
             dropout_rates=(0.1,) * 5, act=gelu_exact,
         )

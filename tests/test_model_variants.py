@@ -178,3 +178,52 @@ class TestLinearWDecoder:
             rngs={'sampling': jax.random.key(3)},
         )
         assert out.recon.shape[0] == 2 and np.isfinite(np.asarray(out.recon)).all()
+
+
+class TestGroupedInit:
+    def test_grouped_kernel_fan_matches_ungrouped(self):
+        """The grouped dense kernel (groups, gin, gout) must be initialised
+        with per-group fan (torch grouped-conv semantics: fan_in = gin), not
+        with variance_scaling over the full shape (fan_in = groups*gin, std a
+        factor sqrt(groups) too small — regression)."""
+        import jax
+        import numpy as np
+
+        from pccf.nn.layers import DenseBlock
+
+        groups, gin, gout = 8, 32, 32
+        grouped = DenseBlock(groups * gout, act=lambda x: x, act_name='LeakyReLU', groups=groups,
+                             batch_norm=False)
+        gv = grouped.init(jax.random.key(0), np.zeros((2, groups * gin), np.float32))
+        gk = np.asarray(gv['params']['grouped_kernel'])
+        plain = DenseBlock(gout, act=lambda x: x, act_name='LeakyReLU', batch_norm=False)
+        pv = plain.init(jax.random.key(0), np.zeros((2, gin), np.float32))
+        pk = np.asarray(pv['params']['dense']['kernel'])
+        assert gk.std() == pytest.approx(pk.std(), rel=0.15)
+
+    def test_double_reconstruct_conditional_guard(self):
+        """double_reconstruct on a conditional model must fail loudly with
+        guidance (regression: opaque TypeError from None logits deep inside
+        temperature_softmax at trace time)."""
+        from pccf.config import get_config_all
+        from pccf.models import get_autoencoder
+        from pccf.data.structures import Inputs
+
+        cfg = get_config_all(BASE + ['autoencoder.model.class_name=CounterfactualVQVAE'])
+        module = get_autoencoder(cfg)
+        assert module.conditional
+        import jax
+        import numpy as np
+
+        cloud = np.zeros((1, 64, 3), np.float32)
+        variables = module.init(
+            {'params': jax.random.key(0), 'sampling': jax.random.key(1)},
+            Inputs(cloud=cloud),
+            np.zeros((1, 2), np.float32),
+            method='full_init',
+        )
+        with pytest.raises(ValueError, match='double_reconstruct_with_logits'):
+            module.apply(
+                variables, Inputs(cloud=cloud), method='double_reconstruct',
+                rngs={'sampling': jax.random.key(2)},
+            )

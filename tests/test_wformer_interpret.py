@@ -58,7 +58,7 @@ class TestWEncoderFused:
 
         t, d, heads = 128, 128, 4
         enc = TransformerWConditionalEncoder(
-            z2_dim=8, n_codes=t, n_classes=3, proj_dim=d, n_heads=heads,
+            z2_dim=8, n_codes=t, proj_dim=d, n_heads=heads,
             mlp_dims=(192,), dropout_rates=(0.0,), act=gelu_exact,
         )
         rng = np.random.default_rng(1)
@@ -82,7 +82,7 @@ class TestWDecoderFused:
         mlp_dims = (256, 128)
         assert wformer_supported(t, d, max(mlp_dims), len(mlp_dims), heads)
         dec = TransformerWDecoder(
-            embedding_dim=4, n_codes=t, z1_dim=8, z2_dim=8, proj_dim=d,
+            embedding_dim=4, n_codes=t, proj_dim=d,
             n_heads=heads, mlp_dims=mlp_dims, dropout_rates=(0.1, 0.1), act=gelu_exact,
         )
         rng = np.random.default_rng(2)
@@ -102,7 +102,7 @@ class TestWDecoderFused:
 
         t, d = 128, 128
         dec = TransformerWDecoder(
-            embedding_dim=4, n_codes=t, z1_dim=8, z2_dim=8, proj_dim=d,
+            embedding_dim=4, n_codes=t, proj_dim=d,
             n_heads=2, mlp_dims=(128,), dropout_rates=(0.0,), act=gelu_exact,
         )
         rng = np.random.default_rng(3)
