@@ -34,6 +34,13 @@ class Subset:
         if hasattr(self.dataset, 'set_inference'):
             self.dataset.set_inference(inference)
 
+    @property
+    def seed(self) -> int:
+        # forward the base dataset's (user.seed-derived) seed so derived
+        # datasets built over a Subset draw seed-dependent sampling noise
+        # instead of silently falling back to key(0)
+        return int(getattr(self.dataset, 'seed', 0))
+
 
 def get_label_distribution(dataset, num_classes: int) -> np.ndarray:
     dataset.set_inference(True)

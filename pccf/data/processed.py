@@ -30,7 +30,15 @@ def _collate_base(dataset, idx_list: Sequence[int]) -> tuple[np.ndarray, np.ndar
         indices.append(None if inputs.indices is None else np.asarray(inputs.indices))
         labels.append(np.int64(targets.label))
     cloud = np.stack(clouds)
-    idx = None if indices[0] is None else np.stack(indices)
+    missing = sum(ix is None for ix in indices)
+    if 0 < missing < len(indices):
+        # deciding from item 0 alone would either silently drop the real
+        # kNN indices (first None) or crash np.stack opaquely (first present)
+        raise ValueError(
+            f'backing dataset returned kNN indices for {len(indices) - missing} '
+            f'of {len(indices)} items; all or none must provide them'
+        )
+    idx = None if missing else np.stack(indices)
     return cloud, idx, np.asarray(labels)
 
 
@@ -60,6 +68,12 @@ class ProcessedDataset:
 
     def __len__(self) -> int:
         return self.dataset_len
+
+    def __getitem__(self, i: int):
+        """Per-item access for protocol consumers (take_from_dataset, the
+        reconstruction hooks); the batched ``__getitems__`` stays the fast
+        path used by the loader."""
+        return self.__getitems__([int(i)])[0]
 
     def set_inference(self, inference: bool) -> None:
         if hasattr(self.dataset, 'set_inference'):

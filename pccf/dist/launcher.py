@@ -41,4 +41,13 @@ class DistributedWorker:
             'data-parallel run over %d device(s) (single-program SPMD; '
             'no process spawning needed)', self.n_devices,
         )
-        self.work_fn(cfg)
+        # actually restrict the run: everything built on get_mesh() default
+        # (Trainer, Test, serving) spans exactly the requested devices, not
+        # all attached ones
+        from pccf.dist.mesh import set_default_mesh_devices
+
+        set_default_mesh_devices(self.n_devices)
+        try:
+            self.work_fn(cfg)
+        finally:
+            set_default_mesh_devices(None)

@@ -59,11 +59,29 @@ def initialize_distributed() -> None:
         # a genuine single-process run (no coordinator discoverable)
 
 
-@functools.lru_cache(maxsize=8)
+# session default for get_mesh(None): set by DistributedWorker.spawn so a
+# user.n_subprocesses=N run actually restricts every default mesh to N
+# devices instead of treating the count as a mere upper-bound check
+_DEFAULT_DEVICES: int | None = None
+
+
+def set_default_mesh_devices(n: int | None) -> None:
+    """Set (or clear, with None) the device count get_mesh() defaults to."""
+    global _DEFAULT_DEVICES
+    _DEFAULT_DEVICES = n
+
+
 def get_mesh(n_devices: int | None = None) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices.
 
-    Raises when fewer than ``n_devices`` devices exist — a silently smaller
+    ``None`` uses the session default (see :func:`set_default_mesh_devices`),
+    falling back to all devices."""
+    return _get_mesh_cached(n_devices if n_devices is not None else _DEFAULT_DEVICES)
+
+
+@functools.lru_cache(maxsize=8)
+def _get_mesh_cached(n_devices: int | None = None) -> Mesh:
+    """Raises when fewer than ``n_devices`` devices exist — a silently smaller
     mesh must never masquerade as the requested one.
     """
     devices = jax.devices()

@@ -132,7 +132,7 @@ def sp_knn(
     return f(jax.lax.stop_gradient(x))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)  # bounded: Mesh objects pin device refs; match get_mesh
 def _make_sp_match_cost(mesh: Mesh, axis: str, batch_axis: str | None):
     spec = P(batch_axis, axis, None)
 

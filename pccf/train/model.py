@@ -11,6 +11,7 @@ Checkpoints are Orbax; the layout is one directory per epoch under
 
 from __future__ import annotations
 
+import functools
 import pathlib
 import re
 from typing import Any, Callable
@@ -23,6 +24,16 @@ from flax import linen as nn
 from pccf.config.experiment import Experiment
 
 Array = jax.Array
+
+
+@functools.lru_cache(maxsize=1)
+def shared_checkpointer() -> ocp.StandardCheckpointer:
+    """One process-wide orbax checkpointer (save/restore are reusable).
+
+    Each StandardCheckpointer spawns background async resources that are
+    never closed; constructing one per save leaked a thread per checkpoint
+    over a long run."""
+    return ocp.StandardCheckpointer()
 
 
 class Checkpoint:
@@ -54,7 +65,7 @@ class Checkpoint:
         path = self.directory / f'epoch_{self.model.epoch}'
         path.parent.mkdir(parents=True, exist_ok=True)
         payload = {'variables': self.model.variables, 'epoch': self.model.epoch}
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = shared_checkpointer()
         ckptr.save(path.resolve(), payload, force=True)
         ckptr.wait_until_finished()
         return path
@@ -67,7 +78,7 @@ class Checkpoint:
         if epoch not in epochs:
             raise FileNotFoundError(f'Checkpoint epoch {epoch} not in {epochs}')
         path = (self.directory / f'epoch_{epoch}').resolve()
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = shared_checkpointer()
         template = {'variables': self.model.variables, 'epoch': 0}
         payload = ckptr.restore(path, template)
         self.model.variables = payload['variables']

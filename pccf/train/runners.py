@@ -422,12 +422,12 @@ class Trainer:
 
     def save_checkpoint(self) -> None:
         """Save model weights plus optimiser state for exact resume."""
-        import orbax.checkpoint as ocp
-
         self.model.save_state()
         state = self._ensure_state()
         path = (self.model.checkpoint.directory / f'epoch_{self.model.epoch}_opt').resolve()
-        ckptr = ocp.StandardCheckpointer()
+        from pccf.train.model import shared_checkpointer
+
+        ckptr = shared_checkpointer()
         ckptr.save(
             path,
             {'opt_state': jax.device_get(state.opt_state), 'step': int(state.step)},
@@ -437,8 +437,6 @@ class Trainer:
 
     def load_checkpoint(self, checkpoint: int = -1) -> None:
         """Restore model weights and, when present, the optimiser state."""
-        import orbax.checkpoint as ocp
-
         self.model.load_state(checkpoint)
         self._state = None
         # the compiled step bakes the optimiser object and the non-trained
@@ -449,7 +447,9 @@ class Trainer:
         state = self._ensure_state()
         opt_path = (self.model.checkpoint.directory / f'epoch_{self.model.epoch}_opt').resolve()
         if opt_path.exists():
-            ckptr = ocp.StandardCheckpointer()
+            from pccf.train.model import shared_checkpointer
+
+            ckptr = shared_checkpointer()
             template = {'opt_state': jax.device_get(state.opt_state), 'step': 0}
             payload = ckptr.restore(opt_path, template)
             # place each restored leaf with the layout _ensure_state gave the

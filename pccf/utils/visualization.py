@@ -192,8 +192,11 @@ function draw(){
   ctx.beginPath();ctx.arc(sx,sy,r,0,6.2832);ctx.fill();
  }}
 const lg=document.getElementById('legend');
-CLOUDS.forEach((cl,i)=>{lg.innerHTML+='<span class="sw" style="background:rgb('+
- (cl.rgb[0]*255|0)+','+(cl.rgb[1]*255|0)+','+(cl.rgb[2]*255|0)+')"></span>'+(cl.name||('cloud '+i))});
+CLOUDS.forEach((cl,i)=>{const sw=document.createElement('span');sw.className='sw';
+ sw.style.background='rgb('+(cl.rgb[0]*255|0)+','+(cl.rgb[1]*255|0)+','+(cl.rgb[2]*255|0)+')';
+ lg.appendChild(sw);
+ /* textContent, not innerHTML: cloud names are user data, never markup */
+ lg.appendChild(document.createTextNode(cl.name||('cloud '+i)))});
 resize();
 </script></body></html>
 """
@@ -283,7 +286,15 @@ def render_cloud(
 
         plt.imsave(out, np.clip(rgba, 0.0, 1.0))
     if interactive:
-        html_dir = pathlib.Path(save_dir) if save_dir is not None else pathlib.Path('images')
+        if save_dir is not None:
+            html_dir = pathlib.Path(save_dir)
+        else:
+            # anchor to the active experiment rather than scattering a
+            # CWD-relative 'images' dir; fall back to CWD only with no run
+            from pccf.config.experiment import Experiment
+
+            exp = Experiment._current
+            html_dir = (exp.exp_dir / 'images') if exp is not None else pathlib.Path('images')
         html_dir.mkdir(parents=True, exist_ok=True)
         html_out = write_html_viewer(
             clouds, colors, title, html_dir / f'{_slug(title)}.html'

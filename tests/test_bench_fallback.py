@@ -12,6 +12,8 @@ import os
 import subprocess
 import types
 
+from pccf.kernels import api as kapi
+
 import pytest
 
 bench = pytest.importorskip('bench')
@@ -39,14 +41,14 @@ def test_loss_and_cf_fall_back_to_jnp(monkeypatch, capsys, probe_ok):
     calls = []
 
     def fake_loss():
-        calls.append(('loss', os.environ.get('PCCF_KERNEL_BACKEND', 'auto')))
-        if os.environ.get('PCCF_KERNEL_BACKEND') != 'jnp':
+        calls.append(('loss', kapi._FORCED_BACKEND.get() or 'auto'))
+        if kapi._FORCED_BACKEND.get() != 'jnp':
             raise RuntimeError('mosaic boom')
         return {'chamfer_emd_pairs_per_s': 100.0, 'chamfer_emd_ms_per_batch': 80.0}
 
     def fake_cf():
-        calls.append(('cf', os.environ.get('PCCF_KERNEL_BACKEND', 'auto')))
-        if os.environ.get('PCCF_KERNEL_BACKEND') != 'jnp':
+        calls.append(('cf', kapi._FORCED_BACKEND.get() or 'auto'))
+        if kapi._FORCED_BACKEND.get() != 'jnp':
             raise RuntimeError('cf boom')
         return {
             'counterfactual_samples_per_s': 10.0,
@@ -67,8 +69,9 @@ def test_loss_and_cf_fall_back_to_jnp(monkeypatch, capsys, probe_ok):
     # counterfactual_* keys keep their names; non-cf extras are marked _jnp
     assert line['counterfactual_samples_per_s'] == 10.0
     assert 'serve_b64_samples_per_s_jnp' in line
-    # the override must not leak into the process environment
+    # the pin is scoped: neither the env var nor the thread override leaks
     assert os.environ.get('PCCF_KERNEL_BACKEND') is None
+    assert kapi._FORCED_BACKEND.get() is None
     assert calls == [('loss', 'auto'), ('loss', 'jnp'), ('cf', 'auto'), ('cf', 'jnp')]
 
 
@@ -101,3 +104,18 @@ def test_both_backends_failing_exits_with_record(monkeypatch, capsys, probe_ok):
     assert line['value'] == 0.0
     assert 'broken everywhere' in line['error']
     assert os.environ.get('PCCF_KERNEL_BACKEND') is None
+    assert kapi._FORCED_BACKEND.get() is None
+
+
+def test_marginal_scan_time_raises_on_nonpositive(monkeypatch):
+    """Tunnel jitter making the short scan slower than the long one must
+    raise, not clamp to 1e-9 (which fabricated ~1e9 pairs/s as the official
+    record)."""
+    import itertools
+    import time as _time
+
+    # constant clock -> zero marginal on every attempt
+    monkeypatch.setattr(_time, 'time', itertools.count(0).__next__)
+    monkeypatch.setattr(bench.time, 'time', lambda: 0.0)
+    with pytest.raises(RuntimeError, match='non-positive marginal'):
+        bench._marginal_scan_time(lambda c: c, (__import__('jax').numpy.ones(4),))

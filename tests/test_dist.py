@@ -170,3 +170,21 @@ class TestReconstructionHookMesh:
         trainer.train_until(1)  # variables now live on the sub-mesh
         recons = _reconstruct(trainer, _DS(), 2)
         assert recons.shape[0] == 2 and np.isfinite(recons).all()
+
+
+class TestLauncherDeviceRestriction:
+    def test_spawn_restricts_default_mesh(self):
+        """DistributedWorker(fn, n) must make get_mesh() default to n devices
+        inside fn (regression: the count was only an upper-bound check and
+        the run silently spanned all attached devices)."""
+        from pccf.dist.launcher import DistributedWorker
+
+        sizes = []
+
+        def work(cfg):
+            sizes.append(get_mesh().devices.size)
+
+        DistributedWorker(work, 2).spawn({})
+        assert sizes == [2]
+        # the default is restored after the run
+        assert get_mesh().devices.size == jax.device_count()

@@ -126,3 +126,17 @@ class TestDerivedDatasets:
         assert boundary.target_value == 0.0
         items = boundary.__getitems__([0])
         assert items[0][0].cloud.shape == (64, 3)
+
+    def test_per_item_access_and_take_from_dataset(self, setup):
+        """Derived datasets must support dataset[i] (the PointCloudDataset
+        protocol and take_from_dataset both need it — regression: only
+        __getitems__ existed, so take_from_dataset raised TypeError)."""
+        from pccf.train.loader import take_from_dataset
+
+        cfg, ds, vqvae, _ = setup
+        derived = WDatasetEncoder(ds, vqvae)
+        w_in, w_t = derived[1]
+        assert w_in.w_q.shape == (16,)
+        batch_in, batch_t = take_from_dataset(derived, 2)
+        assert batch_in.w_q.shape == (2, 16)
+        assert batch_t.w_e.shape == (2, 16)
