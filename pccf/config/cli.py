@@ -59,6 +59,14 @@ def _apply_platform(platform: str) -> None:
     except Exception as e:  # pragma: no cover - defensive
         warnings.warn(f'could not apply user platform {platform!r}: {e}', stacklevel=2)
         return
+    # only VERIFY against an already-initialised backend: calling
+    # jax.devices() here would itself initialise the backend during config
+    # composition, before the entry point's initialize_distributed() — which
+    # breaks multi-host startup (jax.distributed must init first)
+    from jax._src import xla_bridge
+
+    if not xla_bridge._backends:
+        return  # backend not up yet; the config update is sufficient
     backend = jax.devices()[0].platform
     if backend != platform:
         warnings.warn(

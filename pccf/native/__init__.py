@@ -117,11 +117,23 @@ def load() -> ctypes.CDLL | None:
     return _lib
 
 
+def _validate_arrays(clouds: np.ndarray, item_ids: np.ndarray) -> None:
+    """Shape-check BEFORE the ctypes call: the C side only sees flat
+    pointers plus the dims we pass, so a (n, m) or (n, m, 6) clouds array
+    would read past the real buffer instead of erroring."""
+    if clouds.ndim != 3 or clouds.shape[2] != 3:
+        raise ValueError(f'clouds must be (n_items, n_src, 3) float32; got {clouds.shape}')
+    if item_ids.ndim != 1:
+        raise ValueError(f'item_ids must be 1-D; got shape {item_ids.shape}')
+
+
 def _check_rc(rc: int, clouds: np.ndarray, item_ids: np.ndarray) -> None:
     if rc == 1:
+        # item_ids is non-empty whenever rc==1, so plain min/max are safe —
+        # an `initial=0` would report values no id actually has
         raise ValueError(
             f'item_ids out of range [0, {clouds.shape[0]}): '
-            f'min={item_ids.min(initial=0)}, max={item_ids.max(initial=0)}'
+            f'min={item_ids.min()}, max={item_ids.max()}'
         )
     if rc:
         raise ValueError(
@@ -154,6 +166,7 @@ def assemble_batch(
         return None
     clouds = np.ascontiguousarray(clouds, np.float32)
     item_ids = np.ascontiguousarray(item_ids, np.int64)
+    _validate_arrays(clouds, item_ids)
     batch = item_ids.shape[0]
     out = np.empty((batch, n_out, 3), np.float32)
     rc = lib.pccf_assemble_batch(
@@ -199,6 +212,7 @@ def assemble_batch_aug(
         return None
     clouds = np.ascontiguousarray(clouds, np.float32)
     item_ids = np.ascontiguousarray(item_ids, np.int64)
+    _validate_arrays(clouds, item_ids)
     batch = item_ids.shape[0]
     out = np.empty((batch, n_out, 3), np.float32)
     ref = np.empty((batch, n_out, 3), np.float32)

@@ -145,6 +145,30 @@ void process_item_aug(const float* cloud, int64_t n_src, int64_t n_out,
     if (!do_resample) std::memcpy(ref, out, sizeof(float) * 3 * (size_t)n_out);
 }
 
+// Shared pool for both entry points: spawn/join with >= 4 items per thread
+// (threads cost ~tens of us each vs ~130 us/item of work); fn(b, item_seed)
+// processes one batch item with its counter-based reproducible seed.
+template <typename Fn>
+void run_over_batch(int64_t batch, uint64_t seed, const int64_t* item_ids, Fn fn) {
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if ((int64_t)n_threads > batch) n_threads = (int)batch;
+    if ((int64_t)n_threads * 4 > batch) n_threads = (int)((batch + 3) / 4);
+    if (n_threads < 1) n_threads = 1;
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+        pool.emplace_back([=]() {
+            for (int64_t b = t; b < batch; b += n_threads) {
+                uint64_t item_seed = seed * 0x100000001B3ULL + (uint64_t)b * 0x9E3779B1ULL
+                                     + (uint64_t)item_ids[b];
+                fn(b, item_seed);
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -168,28 +192,11 @@ int pccf_assemble_batch(const float* clouds, int64_t n_items, int64_t n_src,
                         uint64_t seed, int do_jitter, float sigma, float clip,
                         float* out) {
     if (int rc = validate_args(n_items, n_src, item_ids, batch, n_out)) return rc;
-    int n_threads = (int)std::thread::hardware_concurrency();
-    if (n_threads < 1) n_threads = 1;
-    if ((int64_t)n_threads > batch) n_threads = (int)batch;
-    // threads are spawned per call (~tens of us each); keep >= 4 items per
-    // thread so spawn cost stays a small fraction of the ~130 us/item work
-    if ((int64_t)n_threads * 4 > batch) n_threads = (int)((batch + 3) / 4);
-    if (n_threads < 1) n_threads = 1;
-    std::vector<std::thread> pool;
-    pool.reserve((size_t)n_threads);
-    for (int t = 0; t < n_threads; ++t) {
-        pool.emplace_back([=]() {
-            for (int64_t b = t; b < batch; b += n_threads) {
-                const float* cloud = clouds + 3 * n_src * item_ids[b];
-                // counter-based per-item seed: reproducible and independent
-                uint64_t item_seed = seed * 0x100000001B3ULL + (uint64_t)b * 0x9E3779B1ULL
-                                     + (uint64_t)item_ids[b];
-                process_item(cloud, n_src, n_out, item_seed, do_jitter, sigma, clip,
-                             out + 3 * n_out * b);
-            }
-        });
-    }
-    for (auto& th : pool) th.join();
+    run_over_batch(batch, seed, item_ids, [=](int64_t b, uint64_t item_seed) {
+        const float* cloud = clouds + 3 * n_src * item_ids[b];
+        process_item(cloud, n_src, n_out, item_seed, do_jitter, sigma, clip,
+                     out + 3 * n_out * b);
+    });
     return 0;
 }
 
@@ -203,28 +210,12 @@ int pccf_assemble_batch_aug(const float* clouds, int64_t n_items, int64_t n_src,
                             int do_resample, int do_rotate, int do_translate,
                             float* out, float* ref) {
     if (int rc = validate_args(n_items, n_src, item_ids, batch, n_out)) return rc;
-    int n_threads = (int)std::thread::hardware_concurrency();
-    if (n_threads < 1) n_threads = 1;
-    if ((int64_t)n_threads > batch) n_threads = (int)batch;
-    // threads are spawned per call (~tens of us each); keep >= 4 items per
-    // thread so spawn cost stays a small fraction of the ~130 us/item work
-    if ((int64_t)n_threads * 4 > batch) n_threads = (int)((batch + 3) / 4);
-    if (n_threads < 1) n_threads = 1;
-    std::vector<std::thread> pool;
-    pool.reserve((size_t)n_threads);
-    for (int t = 0; t < n_threads; ++t) {
-        pool.emplace_back([=]() {
-            for (int64_t b = t; b < batch; b += n_threads) {
-                const float* cloud = clouds + 3 * n_src * item_ids[b];
-                uint64_t item_seed = seed * 0x100000001B3ULL + (uint64_t)b * 0x9E3779B1ULL
-                                     + (uint64_t)item_ids[b];
-                process_item_aug(cloud, n_src, n_out, item_seed, do_jitter, sigma, clip,
-                                 do_resample, do_rotate, do_translate,
-                                 out + 3 * n_out * b, ref + 3 * n_out * b);
-            }
-        });
-    }
-    for (auto& th : pool) th.join();
+    run_over_batch(batch, seed, item_ids, [=](int64_t b, uint64_t item_seed) {
+        const float* cloud = clouds + 3 * n_src * item_ids[b];
+        process_item_aug(cloud, n_src, n_out, item_seed, do_jitter, sigma, clip,
+                         do_resample, do_rotate, do_translate,
+                         out + 3 * n_out * b, ref + 3 * n_out * b);
+    });
     return 0;
 }
 

@@ -46,6 +46,15 @@ class EdgeConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, idx: Array | None, train: bool = False) -> Array:
+        if idx is not None and idx.shape[-1] != self.k:
+            if idx.shape[-1] > self.k:
+                # kNN indices are distance-sorted (ops.knn top_k / the Pallas
+                # tournament), so the prefix IS the exact k-NN set — lets the
+                # classifier (k=20) reuse the dataset's data.n_neighbors=25
+                # precompute instead of silently pooling over 25 neighbours
+                idx = idx[..., : self.k]
+            else:  # too few precomputed neighbours: recompute
+                idx = None
         if idx is None:
             idx = kapi.knn(x, self.k)
         c = x.shape[-1]

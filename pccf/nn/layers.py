@@ -134,7 +134,13 @@ def gumbel_softmax(rng: Array, logits: Array, tau: float, axis: int = -1) -> Arr
 
 
 class MLPHead(nn.Module):
-    """Dense stack with optional dropout between layers (classifier head)."""
+    """Dense stack with optional dropout between layers (classifier head).
+
+    Parity note: like the reference (classifier.py:40-44, which zips
+    ``pairwise(mlp_dims)`` with the rates, strict=False), only the first
+    ``len(dims) - 1`` dropout rates are consumed — there is deliberately no
+    dropout between the last hidden layer and the logits, even though the
+    configs list one rate per hidden layer."""
 
     dims: tuple[int, ...]
     out_features: int

@@ -138,3 +138,25 @@ def test_eval_fast_path_equals_standard_path():
     pre = (pre - mean) / np.sqrt(var + 1e-5) * scale + bias
     want = np.where(pre > 0, pre, 0.2 * pre).max(axis=2)
     np.testing.assert_allclose(np.asarray(fast), want, atol=1e-5)
+
+
+class TestPrecomputedIndexWidth:
+    def test_wider_precomputed_indices_are_sliced_to_k(self):
+        """A block with k=8 receiving the dataset's wider (e.g. k=12)
+        precompute must use exactly its own k (the distance-sorted prefix),
+        not silently pool over all 12 neighbours (regression: the classifier
+        k=20 consumed the data.n_neighbors=25 precompute verbatim)."""
+        from pccf.kernels import api as kapi
+        from pccf.nn.encoders import EdgeConvBlock
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+        block = EdgeConvBlock(16, 8, act=None, act_name='')
+        variables = block.init(jax.random.key(0), x, None, train=False)
+        dynamic = block.apply(variables, x, None, train=False)
+        wide_idx = kapi.knn(x, 12)
+        sliced = block.apply(variables, x, wide_idx, train=False)
+        np.testing.assert_allclose(np.asarray(sliced), np.asarray(dynamic), atol=1e-6)
+        # too-narrow precompute falls back to recomputing at the right k
+        narrow = block.apply(variables, x, kapi.knn(x, 4), train=False)
+        np.testing.assert_allclose(np.asarray(narrow), np.asarray(dynamic), atol=1e-6)

@@ -93,6 +93,10 @@ def train_w_autoencoder(cfg, vqvae: Model, classifier: Model, trial: Any | None 
     cfg_w = cfg.w_autoencoder
     cfg_user = cfg.user
 
+    # parity: the reference's stage 2 treats load_checkpoint as a BOOLEAN
+    # (reference train_w_autoencoder.py:34-35 resets unless set, :100 always
+    # loads the latest vqvae) — a specific index only selects checkpoints in
+    # stage 1; here it likewise only gates the reset/skip-training behaviour
     w_model = build_w_train_model(cfg, vqvae, reset=not cfg_user.load_checkpoint, seed=cfg_user.seed or 0)
 
     train_dataset, test_dataset = get_datasets(cfg)
