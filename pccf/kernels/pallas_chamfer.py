@@ -28,10 +28,9 @@ Array = jax.Array
 _TILE_N = 128  # rows of the distance tile computed per inner step
 
 
-def _nn_both_kernel(x_ref, y_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, n: int, valid_n: int):
+def _nn_both_kernel(x_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, n: int, valid_n: int):
     """One batch element: min/argmin over both axes from shared tiles."""
-    m = y_ref.shape[0]
-    c_dim = y_ref.shape[1]
+    c_dim, m = yt_ref.shape
     n_tiles = n // _TILE_N
 
     _chamfer_fold.fold_init(d2_ref, i2_ref, m)
@@ -59,7 +58,7 @@ def chamfer_fits_vmem(n: int, m: int) -> bool:
     the default ~16 MB scoped VMEM with headroom (the flagship
     n = m = 2048 uses ~3.3 MB)."""
     tile = _TILE_N * m * 4 * 3
-    resident = (n + 2 * m) * 4 * 4 + (n + m) * 8
+    resident = (n + m) * 4 * 4 + (n + m) * 8
     return tile + resident <= 12 * 2**20
 
 
@@ -89,7 +88,6 @@ def _nn_distance_raw(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
         grid=(b,),
         in_specs=[
             pl.BlockSpec((None, np_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, c, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(cham_specs),
@@ -99,7 +97,7 @@ def _nn_distance_raw(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
             bytes_accessed=int(b * (np_ + m) * c * 4 + b * (np_ + m) * 8),
             transcendentals=0,
         ),
-    )(xp, y, jnp.swapaxes(y, 1, 2))
+    )(xp, jnp.swapaxes(y, 1, 2))
     return d1[:, :n, 0], i1[:, :n, 0], d2[:, 0, :], i2[:, 0, :]
 
 

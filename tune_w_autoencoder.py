@@ -22,6 +22,33 @@ from train_w_autoencoder import load_models, train_w_autoencoder
 TUNING_DIR = pathlib.Path(__file__).resolve().parent / 'configs' / 'tuning' / 'w_autoencoder'
 
 
+def split_frozen_outer(vqvae) -> tuple[dict, dict]:
+    """Everything of the trained VQVAE except the inner CVAE, as
+    (params, batch_stats) subtrees ready to graft onto a fresh trial model.
+
+    The reference filters ``w_autoencoder`` keys out of the *state dict*
+    (tune_w_autoencoder.py:41), which carries the BatchNorm running buffers
+    alongside the weights — the frozen encoder runs in eval mode inside every
+    trial, so grafting params alone would normalise each trial's latent
+    dataset with the fresh model's zero-mean/unit-var statistics.
+    """
+    frozen_outer = {k: v for k, v in vqvae.params.items() if k != 'w_autoencoder'}
+    frozen_stats = {k: v for k, v in (vqvae.batch_stats or {}).items() if k != 'w_autoencoder'}
+    return frozen_outer, frozen_stats
+
+
+def graft_frozen_outer(new_vqvae, frozen_outer: dict, frozen_stats: dict) -> None:
+    """Overwrite the outer subtrees of a freshly-initialised trial model,
+    keeping its fresh inner CVAE params."""
+    params = dict(new_vqvae.params)
+    params.update(frozen_outer)
+    new_vqvae.params = params
+    if frozen_stats:
+        stats = dict(new_vqvae.batch_stats or {})
+        stats.update(frozen_stats)
+        new_vqvae.variables = {**new_vqvae.variables, 'batch_stats': stats}
+
+
 def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
     # compose the frozen outer models with the study's fixed overrides, so
     # they match what every trial composes (suggest_overrides prepends
@@ -31,9 +58,8 @@ def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
     main_exp = Experiment(main_cfg, name=main_cfg.name, par_dir=main_cfg.user.path.version_dir)
     with main_exp.create_run(resume=True, record=False):
         classifier, vqvae = load_models(main_cfg)
-    # share the frozen outer weights across trials (reference filters
-    # w_autoencoder keys out of the state dict, tune_w_autoencoder.py:41)
-    frozen_outer = {k: v for k, v in vqvae.params.items() if k != 'w_autoencoder'}
+    # share the frozen outer weights + BN running stats across trials
+    frozen_outer, frozen_stats = split_frozen_outer(vqvae)
 
     def objective(trial: Trial) -> float:
         overrides = tuning.suggest_overrides(tune_cfg, trial)
@@ -55,10 +81,7 @@ def set_objective(tune_cfg: dict) -> Callable[[Trial], float]:
                 np.zeros((1, cfg.data.dataset.n_classes), np.float32),
                 method='full_init',
             )
-            # graft frozen outer weights; keep the trial's fresh inner CVAE
-            params = dict(new_vqvae.params)
-            params.update(frozen_outer)
-            new_vqvae.params = params
+            graft_frozen_outer(new_vqvae, frozen_outer, frozen_stats)
             try:
                 train_w_autoencoder(cfg, new_vqvae, classifier, trial=trial)
             except TrialPruned:
