@@ -56,9 +56,22 @@ def _layer_norm(x: Array, scale: Array, bias: Array) -> Array:
     return xc * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
 
 
+def _erf(x: Array) -> Array:
+    """erf from mul/add/exp only: Mosaic's TC kernel type has no ``erf``
+    lowering (NotImplementedError on real TPU; interpret mode hid this).
+    Abramowitz & Stegun 7.1.26 rational approximation, |abs err| <= 1.5e-7 —
+    below the bf16 rounding of the surrounding matmuls."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    e = 1.0 - poly * jnp.exp(-z * z)
+    return jnp.sign(x) * e
+
+
 def _gelu_exact(x: Array) -> Array:
     # erf form (torch.nn.GELU default; pccf maps 'GELU' to approximate=False)
-    return 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476))
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _dot(a: Array, b: Array) -> Array:
