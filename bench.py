@@ -3,6 +3,10 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
+The DRIVER-captured run of this script (BENCH_r{N}.json) is the official
+record for the round; numbers measured by ad-hoc runs are "best observed"
+only and must be labelled as such in BASELINE.md.
+
 Headline metric (BASELINE.json): combined Chamfer+ApproxMatch-EMD loss
 forward+backward at 2048 points — the reference autoencoder's hot loss path.
 ``vs_baseline`` is measured throughput relative to the documented A100
@@ -12,7 +16,10 @@ the reference repo publishes no numbers).
 Timing methodology: the step is iterated inside a jitted ``lax.scan`` with a
 real data dependency between iterations; per-step time is the *marginal* time
 between a long and a short scan, which cancels the fixed dispatch/transfer
-overhead of the remote-TPU tunnel exactly.
+overhead of the remote-TPU tunnel exactly.  Every reported metric is the
+MEDIAN of ``PCCF_BENCH_REPS`` (default 5) independent marginal measurements;
+the relative spread (max-min)/median across those measurements is reported
+alongside the headline metrics so run-to-run variance is on the record.
 """
 
 from __future__ import annotations
@@ -69,6 +76,25 @@ def _marginal_scan_time(step_fn, args, k_short=2, k_long=12, repeats=2) -> float
     )
 
 
+def _bench_reps() -> int:
+    import os
+
+    return max(1, int(os.environ.get('PCCF_BENCH_REPS', '5')))
+
+
+def _median_scan_time(step_fn, args, **kw) -> tuple[float, float]:
+    """Median of ``PCCF_BENCH_REPS`` independent marginal measurements plus
+    the relative spread (max-min)/median across them.  Compiles are cached
+    after the first measurement, so extra reps cost only execution time —
+    this is the variance control the round-3 verdict asked for (the same
+    code measured 4,104 then 3,131 pairs/s an hour apart on single-shot
+    marginals)."""
+    samples = sorted(_marginal_scan_time(step_fn, args, **kw) for _ in range(_bench_reps()))
+    med = samples[len(samples) // 2]
+    spread = (samples[-1] - samples[0]) / med if med > 0 else 0.0
+    return med, spread
+
+
 def bench_loss_kernels(batch=8, n=2048):
     import jax
     import jax.numpy as jnp
@@ -108,7 +134,7 @@ def bench_loss_kernels(batch=8, n=2048):
         ('chamfer_sinkhorn', lambda a, b: sum(map(jnp.sum, kapi.chamfer_sinkhorn_cost(a, b)))),
     ]:
         try:
-            dt = _marginal_scan_time(make_step(loss), (x, y))
+            dt, spread = _median_scan_time(make_step(loss), (x, y))
         except Exception as e:
             # an extra (non-headline) kernel failing — e.g. the opt-in
             # Sinkhorn entry hitting a Mosaic lowering issue — must not take
@@ -117,6 +143,8 @@ def bench_loss_kernels(batch=8, n=2048):
             continue
         results[f'{name}_pairs_per_s'] = batch / dt
         results[f'{name}_ms_per_batch'] = dt * 1e3
+        if name == 'chamfer_emd':
+            results['chamfer_emd_spread'] = spread
     if 'chamfer_emd_pairs_per_s' not in results:
         # fused variant failed (e.g. a Mosaic regression in the new
         # chamfer-in-EMD outputs): fall back to the two-launch number as the
@@ -206,13 +234,14 @@ def bench_counterfactual(batch=16, n=2048):
         ).recon
         return cloud_c + 1e-3 * recon, logits_c
 
-    dt = _marginal_scan_time(
+    dt, spread = _median_scan_time(
         step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), k_short=1, k_long=9
     )
     out = {
         'counterfactual_samples_per_s': batch / dt,
         'counterfactual_batch_ms': dt * 1e3,
         'counterfactual_vs_baseline': batch / dt / A100_EST_CF_SAMPLES_PER_S,
+        'counterfactual_spread': spread,
     }
     # throughput-oriented serving point: larger batch amortises the per-call
     # issue-bound kernel portions (the reference serves at batch 16; this is
@@ -220,7 +249,7 @@ def bench_counterfactual(batch=16, n=2048):
     big = 64
     cloud_b = rng.standard_normal((big, n, 3)).astype(np.float32) / 2
     logits_b = rng.standard_normal((big, 2)).astype(np.float32)
-    dt_b = _marginal_scan_time(
+    dt_b, _ = _median_scan_time(
         step, (jax.numpy.asarray(cloud_b), jax.numpy.asarray(logits_b)), k_short=1, k_long=5
     )
     out['counterfactual_b64_samples_per_s'] = big / dt_b
@@ -291,10 +320,14 @@ def bench_train_step(batch=8, n=2048, iters=8):
     rng = jax.random.key(7)
     for _ in range(2):  # compile + warm
         trainer.run_step(inputs, targets, rng=rng, epoch=1.0)
-    t0 = _time.time()
-    for _ in range(iters):
-        trainer.run_step(inputs, targets, rng=rng, epoch=1.0)
-    dt = (_time.time() - t0) / iters
+    samples = []
+    for _ in range(_bench_reps()):
+        t0 = _time.time()
+        for _ in range(iters):
+            trainer.run_step(inputs, targets, rng=rng, epoch=1.0)
+        samples.append((_time.time() - t0) / iters)
+    samples.sort()
+    dt = samples[len(samples) // 2]
     return {
         'vqvae_train_step_ms': dt * 1e3,
         'vqvae_train_samples_per_s': batch / dt,

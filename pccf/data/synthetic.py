@@ -20,25 +20,52 @@ from pccf.data.structures import Inputs, Targets
 _N_KINDS = 4  # sphere, box, torus, cylinder
 
 
-def _shape_cloud(rng: np.random.Generator, kind: int, n: int) -> np.ndarray:
+def _shape_cloud(
+    rng: np.random.Generator, kind: int, n: int, variability: float = 0.0
+) -> np.ndarray:
+    """One surface sample of the class ``kind``.
+
+    ``variability`` in [0, 1] draws per-INSTANCE shape parameters (ellipsoid
+    axes, box aspect, torus tube ratio, cylinder taper/aspect) so classes
+    have real intra-class spread and overlap — the "comparable difficulty"
+    surrogate regime for the offline quality runs (the classes are no longer
+    separable by a single radius statistic once squashed tori, slim boxes and
+    tapered cylinders coexist).  ``variability=0`` reproduces the original
+    fixed shapes exactly (same rng stream), keeping earlier datasets and
+    tests bit-identical.
+    """
     u = rng.random(n) * 2 * np.pi
     v = rng.random(n)
-    if kind % _N_KINDS == 0:  # sphere
+    if kind % _N_KINDS == 0:  # sphere -> random ellipsoid
         phi = np.arccos(2 * v - 1)
         pts = np.stack([np.sin(phi) * np.cos(u), np.sin(phi) * np.sin(u), np.cos(phi)], 1)
-    elif kind % _N_KINDS == 1:  # box surface
+        if variability:
+            pts = pts * (1.0 - 0.45 * variability * rng.random(3))
+    elif kind % _N_KINDS == 1:  # box surface -> random aspect box
         pts = rng.random((n, 3)) * 2 - 1
         face = rng.integers(0, 3, n)
         sign = rng.choice([-1.0, 1.0], n)
         pts[np.arange(n), face] = sign
-    elif kind % _N_KINDS == 2:  # torus
+        if variability:
+            pts = pts * (1.0 - 0.5 * variability * rng.random(3))
+    elif kind % _N_KINDS == 2:  # torus -> random tube ratio + squash
         w = rng.random(n) * 2 * np.pi
         r, rr = 1.0, 0.35
+        if variability:
+            rr = 0.35 + variability * rng.uniform(-0.15, 0.25)
         pts = np.stack(
             [(r + rr * np.cos(w)) * np.cos(u), (r + rr * np.cos(w)) * np.sin(u), rr * np.sin(w)], 1
         )
-    else:  # cylinder
-        pts = np.stack([np.cos(u), np.sin(u), 2 * v - 1], 1)
+        if variability:
+            pts[:, 2] *= 1.0 + variability * rng.uniform(-0.3, 1.0)
+    else:  # cylinder -> random aspect + cone taper
+        radius = np.ones(n)
+        height = 2 * v - 1
+        if variability:
+            taper = variability * rng.uniform(0.0, 0.8)
+            radius = 1.0 - taper * (height + 1.0) / 2.0
+            height = height * (1.0 + variability * rng.uniform(-0.4, 0.4))
+        pts = np.stack([radius * np.cos(u), radius * np.sin(u), height], 1)
     pts = pts + 0.02 * rng.standard_normal((n, 3))
     return pts.astype(np.float32)
 
@@ -74,6 +101,7 @@ class SyntheticDataset(SplitCreator):
         n_train = int(settings.get('n_train', 64))
         n_test = int(settings.get('n_test', 32))
         base_points = int(settings.get('base_points', max(2048, cfg.data.n_input_points)))
+        variability = float(settings.get('variability', 0.0))
         rng = np.random.default_rng(12345)
         self.data: dict[Partitions, tuple] = {}
         counts = {
@@ -83,7 +111,7 @@ class SyntheticDataset(SplitCreator):
         }
         for part, count in counts.items():
             clouds = np.stack(
-                [_shape_cloud(rng, i % n_classes, base_points) for i in range(count)]
+                [_shape_cloud(rng, i % n_classes, base_points, variability) for i in range(count)]
             )
             labels = np.asarray([i % n_classes for i in range(count)], np.int64)
             self.data[part] = (clouds, labels)

@@ -59,8 +59,10 @@ def _layer_norm(x: Array, scale: Array, bias: Array) -> Array:
 def _erf(x: Array) -> Array:
     """erf from mul/add/exp only: Mosaic's TC kernel type has no ``erf``
     lowering (NotImplementedError on real TPU; interpret mode hid this).
-    Abramowitz & Stegun 7.1.26 rational approximation, |abs err| <= 1.5e-7 —
-    below the bf16 rounding of the surrounding matmuls."""
+    Abramowitz & Stegun 7.1.26 rational approximation (exact-arithmetic bound
+    |abs err| <= 1.5e-7; measured in f32 vs ``jax.lax.erf``: ~2.8e-6 max abs
+    err) — either way far below the bf16 rounding of the surrounding
+    matmuls."""
     a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
     z = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * z)

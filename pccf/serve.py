@@ -24,6 +24,13 @@ packages the same model path for deployment on TPU serving hosts:
   derived per request from ``sampling_seed`` (default 0), not from a
   batch-shaped RNG draw — the same request returns the same output no
   matter how it is padded, chunked, or microbatched with others.
+- **async pipelining**: :meth:`counterfactual_async` dispatches the device
+  work and schedules the device->host copy without blocking, returning a
+  :class:`ServeFuture`; a serving loop that keeps >= 2 requests in flight
+  overlaps one request's host pad/fetch (expensive over the remote-TPU
+  tunnel) with the previous request's device compute.  The synchronous
+  :meth:`counterfactual` is exactly ``counterfactual_async(...).result()``,
+  and oversize batches pipeline their bucket-size chunks internally.
 """
 
 from __future__ import annotations
@@ -39,6 +46,22 @@ from pccf.data.structures import Inputs
 Array = jax.Array
 
 _DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+class ServeFuture:
+    """Handle for an in-flight counterfactual request.
+
+    The device execution and the device->host copy are already scheduled
+    (``copy_to_host_async``); :meth:`result` only waits for them and
+    assembles the ``(n, n_out, 3)`` float32 array.  Results from chunked
+    oversize requests concatenate in request order."""
+
+    def __init__(self, parts: list[tuple[Array, int]]) -> None:
+        self._parts = parts  # [(device recon incl. padding, valid n), ...]
+
+    def result(self) -> np.ndarray:
+        outs = [np.asarray(r[:n], np.float32) for r, n in self._parts]
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
 
 def _next_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -234,6 +257,29 @@ class CounterfactualServer:
         classifier provides them.  Outputs are deterministic per request
         (same cloud/logits/target/seed -> same recon, however batched).
         """
+        return self.counterfactual_async(
+            clouds, target_dim, logits, target_value, sampling_seed
+        ).result()
+
+    def counterfactual_async(
+        self,
+        clouds: np.ndarray,
+        target_dim: int | np.ndarray,
+        logits: np.ndarray | None = None,
+        target_value: float | np.ndarray = 1.0,
+        sampling_seed: int | np.ndarray = 0,
+    ) -> ServeFuture:
+        """Dispatch a counterfactual request without blocking.
+
+        The device compute and the device->host result copy are scheduled
+        asynchronously; call :meth:`ServeFuture.result` when the array is
+        needed.  Keeping two or more requests in flight overlaps host
+        pad/transfer with device compute (the remote-tunnel round trip
+        otherwise serialises with the compute, see BASELINE.md serving
+        measurements).  Results are identical to :meth:`counterfactual`
+        (same per-request determinism contract).  Oversize batches dispatch
+        all bucket-size chunks up front, pipelining them on-device.
+        """
         clouds = np.asarray(clouds, np.float32)
         n = clouds.shape[0]
         if logits is None:
@@ -243,16 +289,20 @@ class CounterfactualServer:
         tval = np.broadcast_to(np.asarray(target_value, np.float32), (n,)).copy()
         seeds = np.broadcast_to(np.asarray(sampling_seed, np.int32), (n,)).copy()
         b = _next_bucket(n, self.buckets)
-        if n > b:  # oversize: serve in bucket-size chunks
-            return np.concatenate(
-                [
-                    self.counterfactual(
-                        clouds[i : i + b], tdim[i : i + b], logits[i : i + b],
-                        tval[i : i + b], seeds[i : i + b],
-                    )
-                    for i in range(0, n, b)
-                ]
+        parts: list[tuple[Array, int]] = []
+        for i in range(0, n, b):
+            m = min(b, n - i)
+            recon = self._dispatch_chunk(
+                clouds[i : i + b], logits[i : i + b], tdim[i : i + b],
+                tval[i : i + b], seeds[i : i + b], b,
             )
+            self._bump_stats(m, b)
+            parts.append((recon, m))
+        return ServeFuture(parts)
+
+    def _dispatch_chunk(self, clouds, logits, tdim, tval, seeds, b: int) -> Array:
+        """Pad to the bucket, dispatch the jitted decode, schedule the
+        device->host copy; returns the (still in-flight) device array."""
         args = self._put(
             (
                 _pad_batch(clouds, b),
@@ -278,8 +328,11 @@ class CounterfactualServer:
             self._prepacked = True
         else:
             recon = self._gen(self._vq_vars, *args)
-        self._bump_stats(n, b)
-        return np.asarray(recon[:n], np.float32)
+        try:
+            recon.copy_to_host_async()
+        except Exception:
+            pass  # backends without async host copies fetch lazily in result()
+        return recon
 
     def generate(
         self,

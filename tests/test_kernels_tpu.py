@@ -335,6 +335,25 @@ class TestSinkhornOnChip:
             np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=5e-3)
 
 
+def _assert_norm_close(got: np.ndarray, want: np.ndarray, rel_l2=1e-2, rel_max=5e-2):
+    """Norm-relative acceptance for the fused bf16 transformer stacks.
+
+    The fused kernels run every matmul bf16-in / f32-accumulate (the Mosaic
+    MXU path); across a 4-layer stack that is ~12 matmul stages of bf16
+    input rounding, so the absolute error grows with the activations' scale
+    and depth — a flat ``atol`` either hides real bugs at small scales or
+    fails on legitimate rounding at large ones.  Accept when the error is
+    small relative to the output's own energy: relative L2 over the whole
+    tensor plus a max-abs bound scaled by the output RMS.
+    """
+    scale = float(np.sqrt(np.mean(np.square(want)))) + 1e-12
+    l2 = float(np.linalg.norm(got - want)) / (float(np.linalg.norm(want)) + 1e-12)
+    mx = float(np.max(np.abs(got - want))) / scale
+    assert l2 <= rel_l2 and mx <= rel_max, (
+        f'rel L2 {l2:.3e} (limit {rel_l2}), rms-scaled max {mx:.3e} (limit {rel_max})'
+    )
+
+
 @requires_tpu
 class TestWFormerOnChip:
     """Fused transformer stacks vs the XLA layer path at flagship dims."""
@@ -357,7 +376,7 @@ class TestWFormerOnChip:
         fused = np.asarray(enc.apply(variables, x, train=False))
         monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
         slow = np.asarray(enc.apply(variables, x, train=False))
-        np.testing.assert_allclose(fused, slow, atol=2e-2)
+        _assert_norm_close(fused, slow)
 
     def test_decoder_stack(self, monkeypatch):
         import jax
@@ -379,4 +398,4 @@ class TestWFormerOnChip:
         fused = np.asarray(dec.apply(variables, z1, z2, train=False))
         monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
         slow = np.asarray(dec.apply(variables, z1, z2, train=False))
-        np.testing.assert_allclose(fused, slow, atol=2e-2)
+        _assert_norm_close(fused, slow)

@@ -86,6 +86,28 @@ class TestServing:
         )
         np.testing.assert_allclose(whole, parts, atol=1e-5)
 
+    def test_async_matches_sync(self, server):
+        """counterfactual_async().result() is the sync path exactly, and
+        in-flight futures can be dispatched back-to-back (the pipelining
+        contract) without cross-talk."""
+        clouds = _clouds(4, seed=17)
+        logits = server.classify(clouds)
+        sync = server.counterfactual(clouds, 1, logits)
+        f1 = server.counterfactual_async(clouds[:2], 1, logits[:2])
+        f2 = server.counterfactual_async(clouds[2:], 1, logits[2:])
+        got = np.concatenate([f1.result(), f2.result()])
+        np.testing.assert_allclose(got, sync, atol=1e-5)
+
+    def test_async_oversize_chunks_dispatch_up_front(self, server):
+        """An oversize async request returns one future covering all chunks,
+        equal to the sync chunked result."""
+        clouds = _clouds(5, seed=18)
+        logits = server.classify(clouds)
+        fut = server.counterfactual_async(clouds, 0, logits)
+        np.testing.assert_allclose(
+            fut.result(), server.counterfactual(clouds, 0, logits), atol=1e-5
+        )
+
     def test_per_sample_targets_match_per_row_calls(self, server):
         clouds = _clouds(2, seed=2)
         logits = server.classify(clouds)

@@ -12,6 +12,9 @@ Also times the chamfer fwd vs fwd+bwd split to locate the XLA glue cost.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

@@ -1,4 +1,7 @@
 """Post-tunnel-recovery validation: kernels parity + timing, then bench."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -15,6 +15,9 @@ Usage: python _verify_cpu.py {dryrun|bench-small|bench-full}
                the same single JSON line the driver records.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 

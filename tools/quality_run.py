@@ -1,0 +1,233 @@
+"""Full 4-stage quality run on the offline synthetic surrogate (VERDICT r4 #4).
+
+The reference's deliverable is end-to-end *quality*: counterfactual flip
+rates and reconstructed-classification accuracy over real classes
+(reference evaluate_counterfactuals.py:31-159).  The sandbox is offline
+(the ModelNet auto-download URL, reference src/data/modelnet.py:116-118,
+does not resolve), so this runs the run.sh sequence on the 4-class
+synthetic surrogate with per-instance shape variability
+(pccf/data/synthetic.py `variability`) at the FLAGSHIP shapes: 2048 points
+in/out, k=25, w_dim 1024 = 256 codes x 4, book 16 — only epochs are scaled
+(45 / 200 / 100 vs the reference's 45 / 1000 / 500) to fit a chip session.
+The codebook-maintenance hook (diagnose_every=10, incl. final-epoch
+dead-entry burial) and stage-2 KLD annealing run live, exactly as a real
+training would.
+
+Writes QUALITY_r4.json at the repo root and leaves checkpoints under
+$ROOT_EXP_DIR (default: experiments/quality_r4/).
+
+Usage: python tools/quality_run.py [--epochs-ae N] [--epochs-wae N]
+           [--epochs-cls N] [--n-train N] [--n-test N] [--tag TAG]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import re
+import sys
+import time
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--epochs-cls', type=int, default=45)
+    ap.add_argument('--epochs-ae', type=int, default=200)
+    ap.add_argument('--epochs-wae', type=int, default=100)
+    ap.add_argument('--n-train', type=int, default=512)
+    ap.add_argument('--n-test', type=int, default=128)
+    ap.add_argument('--variability', type=float, default=0.85)
+    ap.add_argument('--tag', default='quality_r4')
+    ap.add_argument(
+        '--smoke', action='store_true',
+        help='tiny shapes + CPU-friendly dims: validates the scraping/record '
+        'logic end-to-end without chip time',
+    )
+    ap.add_argument('--cpu', action='store_true', help='force the CPU backend')
+    args = ap.parse_args()
+
+    if args.cpu:  # must happen before first device use (sitecustomize pins axon)
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+
+        jax.config.update('jax_platforms', 'cpu')
+
+    os.environ.setdefault('ROOT_EXP_DIR', str(REPO / 'experiments' / args.tag))
+    os.environ.setdefault('DATASET_DIR', str(REPO / 'datasets'))
+
+    from pccf.config import Experiment, get_config_all
+    from pccf.train import get_trackers
+
+    overrides = [
+        'data/dataset=synthetic',
+        'data.dataset.n_classes=4',
+        f'data.dataset.settings.n_train={args.n_train}',
+        f'data.dataset.settings.n_test={args.n_test}',
+        'data.dataset.settings.base_points=4096',
+        f'data.dataset.settings.variability={args.variability}',
+        f'classifier.train.n_epochs={args.epochs_cls}',
+        f'autoencoder.train.n_epochs={args.epochs_ae}',
+        f'w_autoencoder.train.n_epochs={args.epochs_wae}',
+        # quality-run practicality: no early stop (we want the full schedule
+        # on the record), checkpoint at the end only
+        'classifier.train.early_stopping.active=false',
+        'autoencoder.train.early_stopping.active=false',
+        'w_autoencoder.train.early_stopping.active=false',
+        'user.checkpoint_every=0',
+        'user.trackers.tensorboard=false',
+        'user.trackers.csv=true',
+        'user.seed=0',
+    ]
+    if args.smoke:
+        overrides += [
+            'data.dataset.settings.base_points=96',
+            'data.n_input_points=64',
+            'data.n_target_points=64',
+            'data.n_neighbors=6',
+            'classifier.model.n_neighbors=6',
+            'classifier.model.conv_dims=[8,8]',
+            'classifier.model.mlp_dims=[16,16]',
+            'classifier.model.feature_dim=16',
+            'classifier.train.batch_size=4',
+            'autoencoder.model.w_dim=32',
+            'autoencoder.model.embedding_dim=4',
+            'autoencoder.model.book_size=4',
+            'autoencoder.model.encoder.n_neighbors=6',
+            'autoencoder.model.decoder.map_dims=[8]',
+            'autoencoder.model.decoder.conv_dims=[16,8]',
+            'autoencoder.model.decoder.n_components=2',
+            'autoencoder.model.decoder.sample_dim=4',
+            'autoencoder.objective.recon_loss=Chamfer',
+            'autoencoder.train.batch_size=4',
+            'autoencoder.diagnose_every=2',
+            'w_autoencoder.model.w_encoder.proj_dim=16',
+            'w_autoencoder.model.w_encoder.n_heads=2',
+            'w_autoencoder.model.w_encoder.mlp_dims=[16]',
+            'w_autoencoder.model.w_decoder.proj_dim=16',
+            'w_autoencoder.model.w_decoder.n_heads=2',
+            'w_autoencoder.model.w_decoder.mlp_dims=[16]',
+            'w_autoencoder.model.conditional_w_encoder.proj_dim=16',
+            'w_autoencoder.model.conditional_w_encoder.n_heads=2',
+            'w_autoencoder.model.conditional_w_encoder.mlp_dims=[16]',
+            'w_autoencoder.model.z1_dim=4',
+            'w_autoencoder.model.z2_dim=4',
+            'w_autoencoder.train.batch_size=4',
+        ]
+    cfg = get_config_all(overrides)
+    exp = Experiment(cfg, name=args.tag)
+    for tracker in get_trackers(cfg):
+        exp.subscribe(tracker)
+
+    record: dict = {
+        'tag': args.tag,
+        'config': {
+            'n_classes': 4,
+            'variability': args.variability,
+            'n_train': args.n_train,
+            'n_test': args.n_test,
+            'points': cfg.data.n_input_points,
+            'epochs': [args.epochs_cls, args.epochs_ae, args.epochs_wae],
+            'batch_sizes': [
+                cfg.classifier.train.batch_size,
+                cfg.autoencoder.train.batch_size,
+                cfg.w_autoencoder.train.batch_size,
+            ],
+        },
+        'stages': {},
+    }
+
+    def stage(name: str, fn):
+        t0 = time.time()
+        buf = io.StringIO()
+
+        class Tee(io.TextIOBase):
+            def write(self, s):
+                buf.write(s)
+                sys.__stdout__.write(s)
+                return len(s)
+
+            def flush(self):
+                sys.__stdout__.flush()
+
+        with redirect_stdout(Tee()):
+            out = fn()
+        dt = time.time() - t0
+        record['stages'][name] = {'wall_s': round(dt, 1)}
+        print(f'== stage {name} done in {dt:.0f}s ==', flush=True)
+        return out, buf.getvalue()
+
+    with exp.create_run():
+        from train_classifier import train_classifier
+
+        _, cls_log = stage('classifier', train_classifier)
+        # keep the confusion matrix the classifier entry prints (the
+        # held-out test accuracy itself is on the evaluate-stage record as
+        # the ClassificationOriginal suite)
+        if 'Confusion Matrix' in cls_log:
+            cm_at = cls_log.index('Confusion Matrix')
+            record['stages']['classifier']['confusion_matrix_log'] = cls_log[
+                cm_at : cm_at + 400
+            ]
+
+        from train_autoencoder import train_autoencoder
+
+        (chamfer, ae_log) = stage('autoencoder', train_autoencoder)
+        record['stages']['autoencoder']['final_test_chamfer'] = (
+            float(chamfer) if chamfer is not None else None
+        )
+        emds = re.findall(r"'EMD': ([0-9.eE+-]+)", ae_log)
+        if emds:
+            record['stages']['autoencoder']['final_test_emd'] = float(emds[-1])
+
+        from train_w_autoencoder import load_models, train_w_autoencoder
+
+        classifier, vqvae = load_models(cfg)
+        (wloss, _) = stage('w_autoencoder', lambda: train_w_autoencoder(cfg, vqvae, classifier))
+        record['stages']['w_autoencoder']['final_loss'] = (
+            float(wloss) if wloss is not None else None
+        )
+        vqvae.save_state()
+
+        from evaluate_counterfactuals import evaluate_counterfactuals
+
+        (metrics, eval_log) = stage(
+            'evaluate', lambda: evaluate_counterfactuals(cfg, classifier, vqvae)
+        )
+        record['stages']['evaluate']['original_metrics'] = {
+            k: float(v) for k, v in metrics.items()
+        }
+        # scrape every printed suite line: "[SuiteName] Metric: v, Metric: v"
+        suites = {}
+        for line in eval_log.splitlines():
+            m = re.match(r'^\[([A-Za-z_0-9]+)\] (.*)$', line.strip())
+            if m:
+                vals = re.findall(r'([A-Za-z][\w ]*?): (-?[0-9.eE+-]+)(?:,|$)', m.group(2))
+                suites[m.group(1)] = {k.strip(): float(v) for k, v in vals}
+        record['stages']['evaluate']['suites'] = suites
+        # "Overall misclassified counterfeit success:" block (name: value lines)
+        mm = re.search(
+            r'Overall misclassified counterfeit success:\n((?:[\w ]+: -?[0-9.eE+-]+\n?)+)',
+            eval_log,
+        )
+        if mm:
+            record['stages']['evaluate']['misclassified_overall'] = {
+                k.strip(): float(v)
+                for k, v in re.findall(r'([\w ]+): (-?[0-9.eE+-]+)', mm.group(1))
+            }
+
+    record['exp_dir'] = os.environ['ROOT_EXP_DIR']
+    out_path = REPO / 'QUALITY_r4.json'
+    out_path.write_text(json.dumps(record, indent=1))
+    print(json.dumps(record))
+    print(f'wrote {out_path}')
+
+
+if __name__ == '__main__':
+    main()
