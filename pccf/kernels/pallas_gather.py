@@ -43,7 +43,8 @@ def gather_pool_supported(n: int, c: int, k: int = 0) -> bool:
 
 def _unroll() -> int:
     """Independent rows per loop step: overlaps the dynamic-row loads (the
-    per-row max chain is latency-bound; 4-way row ILP measured ~1.5-2x).
+    per-row max chain is latency-bound; 4-way row ILP measured ~1.5-2x,
+    8-way won the round-4 silicon sweep, tools/sweep_cf.py).
     PCCF_POOL_UNROLL overrides for on-chip A/B — read at TRACE time (not
     module import), so a probe that changes the knob and rebuilds its jit
     actually measures the new value; clamped to the nearest power-of-two
@@ -51,7 +52,7 @@ def _unroll() -> int:
     output tile unwritten)."""
     import os
 
-    u = max(1, int(os.environ.get('PCCF_POOL_UNROLL', '4')))
+    u = max(1, int(os.environ.get('PCCF_POOL_UNROLL', '8')))
     while _TILE_N % u:
         u //= 2
     return u

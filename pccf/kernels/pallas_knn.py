@@ -59,10 +59,11 @@ def _cross_bf16x3(a: Array, b: Array, bf16_fast: bool = False) -> Array:
 
 def _env_group() -> int:
     """Interleave depth from the A/B env knobs (read OUTSIDE any jit trace:
-    baked-in env reads would make mid-process knob changes silently no-ops)."""
+    baked-in env reads would make mid-process knob changes silently no-ops).
+    Default 4 won the round-4 silicon sweep (tools/sweep_cf.py)."""
     import os
 
-    group = 1 if os.environ.get('PCCF_KNN_NO_PAIR') else int(os.environ.get('PCCF_KNN_GROUP', '2'))
+    group = 1 if os.environ.get('PCCF_KNN_NO_PAIR') else int(os.environ.get('PCCF_KNN_GROUP', '4'))
     return max(1, group)
 
 

@@ -114,8 +114,10 @@ def _attention(h_bf, kv_bf, i, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, w
     y_ref[...] += _dot(av, _row(wo_ref, i))  # (T, d)
 
 
-def _encoder_kernel(
-    x_ref,
+def _enc_layers(
+    out_ref,  # (T, d) f32: residual stream, pre-initialised by the caller
+    h_scr,  # (T, d) bf16 scratch: normed input shared by the head loop
+    y_scr,  # (T, d) f32 scratch: attention accumulator
     ln1_ref,  # (L, 2, d) f32: [scale, bias]
     wq_ref, wk_ref, wv_ref,  # (L*H, d, hd) bf16
     bq_ref, bk_ref, bv_ref,  # (L*H, 1, hd) f32
@@ -126,15 +128,12 @@ def _encoder_kernel(
     b1_ref,  # (L, 1, f_max) f32
     w2_ref,  # (L, f_max, d) bf16
     b2_ref,  # (L, 1, d) f32
-    out_ref,  # (T, d) f32
-    h_scr,  # (T, d) bf16 scratch: normed input shared by the head loop
-    y_scr,  # (T, d) f32 scratch: attention accumulator
     *,
     n_layers: int,
     n_heads: int,
     head_dim: int,
 ):
-    out_ref[...] = x_ref[...]
+    """Run ``n_layers`` pre-norm encoder layers over ``out_ref`` in place."""
 
     def layer(l, _):
         x = out_ref[...]
@@ -164,25 +163,28 @@ def _encoder_kernel(
     jax.lax.fori_loop(0, n_layers, layer, None)
 
 
-def _decoder_kernel(
-    x_ref,
-    mem_ref,  # (T_mem, d) f32
+def _encoder_kernel(x_ref, *refs, n_layers: int, n_heads: int, head_dim: int):
+    *stack, out_ref, h_scr, y_scr = refs
+    out_ref[...] = x_ref[...]
+    _enc_layers(out_ref, h_scr, y_scr, *stack, n_layers=n_layers, n_heads=n_heads, head_dim=head_dim)
+
+
+def _dec_layers(
+    out_ref,  # (T, d) f32 residual stream, pre-initialised
+    m_scr,  # (T_mem, d) bf16: memory tokens, pre-set by the caller
+    h_scr,
+    y_scr,
     ln1_ref,
     wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo_ref,  # self
     lnx_ref,  # (L, 2, d): cross-attention pre-norm
     xwq_ref, xwk_ref, xwv_ref, xbq_ref, xbk_ref, xbv_ref, xwo_ref, xbo_ref,  # cross
     ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    out_ref,
-    h_scr,
-    m_scr,  # (T_mem, d) bf16 scratch: memory tokens
-    y_scr,
     *,
     n_layers: int,
     n_heads: int,
     head_dim: int,
 ):
-    out_ref[...] = x_ref[...]
-    m_scr[...] = mem_ref[...].astype(jnp.bfloat16)
+    """Run ``n_layers`` pre-norm decoder (self+cross) layers in place."""
 
     def layer(l, _):
         x = out_ref[...]
@@ -225,6 +227,15 @@ def _decoder_kernel(
         return _
 
     jax.lax.fori_loop(0, n_layers, layer, None)
+
+
+def _decoder_kernel(x_ref, mem_ref, *refs, n_layers: int, n_heads: int, head_dim: int):
+    *stack, out_ref, h_scr, m_scr, y_scr = refs
+    out_ref[...] = x_ref[...]
+    m_scr[...] = mem_ref[...].astype(jnp.bfloat16)
+    _dec_layers(
+        out_ref, m_scr, h_scr, y_scr, *stack, n_layers=n_layers, n_heads=n_heads, head_dim=head_dim
+    )
 
 
 # --------------------------------------------------------- weight packing

@@ -97,15 +97,95 @@ class WAutoEncoder(nn.Module):
         """Deterministic conditional decode with interpolated probabilities
         (w_autoencoders.py:247-262): z1 = mu1, z2 = p_mu2 + d_mu2."""
         x = inputs.w_q.reshape(-1, self.n_codes, self.embedding_dim)
-        data = self.encode_z1(x, False)
         old_probs = self.get_probabilities_from_logits(inputs.logits)
         target = jax.nn.one_hot(jnp.asarray(target_dim), self.n_classes, dtype=old_probs.dtype)
         target = jnp.broadcast_to(target, old_probs.shape)
         probs = (1.0 - target_value) * old_probs + target_value * target
-        data = data.replace(probs=probs)
+        if self._fused_cf_ok():
+            w_recon = self._fused_cf(x, probs)
+            _, idx, w_dist_2 = ops.vq_assign(w_recon, codebook)
+            return Outputs(probs=probs, w_recon=w_recon, idx=idx, w_dist_2=w_dist_2)
+        data = self.encode_z1(x, False).replace(probs=probs)
         data = self.encode_z2(x, data, False)
         data = data.replace(z1=data.mu1, z2=data.p_mu2 + data.d_mu2)
         return self.decode(data, codebook, False)
+
+    def _fused_cf_ok(self) -> bool:
+        """Dispatch the single-launch fused CVAE kernel for the deterministic
+        counterfactual chain (eval only; transformer nets with a shared
+        proj_dim and the exact-GELU activation the kernel hard-codes).
+        Pseudo-inputs don't gate it: their encode_z1 rows are split off and
+        unused by the counterfactual path, and token rows are independent."""
+        from pccf.kernels import api as kapi
+        from pccf.kernels.pallas_cvae import cvae_cf_supported
+        from pccf.nn.layers import gelu_exact
+        from pccf.nn.w_networks import (
+            TransformerWConditionalEncoder,
+            TransformerWDecoder,
+            TransformerWEncoder,
+        )
+
+        enc, post, dec = self.encoder, self.z2_posterior, self.decoder
+        if not (
+            isinstance(enc, TransformerWEncoder)
+            and isinstance(post, TransformerWConditionalEncoder)
+            and isinstance(dec, TransformerWDecoder)
+        ):
+            return False
+        if self.is_initializing() or not kapi.use_pallas():
+            return False
+        if not (enc.act is gelu_exact and post.act is gelu_exact and dec.act is gelu_exact):
+            return False
+        if not enc.proj_dim == post.proj_dim == dec.proj_dim:
+            return False
+        return cvae_cf_supported(
+            self.n_codes,
+            enc.proj_dim,
+            max(*enc.mlp_dims, *post.mlp_dims, *dec.mlp_dims),
+            len(enc.mlp_dims) + len(post.mlp_dims) + len(dec.mlp_dims),
+            (enc.n_heads, post.n_heads, dec.n_heads),
+            self.embedding_dim,
+        )
+
+    def _fused_cf(self, x: Array, probs: Array) -> Array:
+        """Run the fused chain; caches packed operands in the ``packed``
+        collection when mutable (see w_networks._packed_stack for the
+        serving prepack contract)."""
+        from pccf.kernels.pallas_cvae import cvae_cf_tpu, pack_cvae_cf_params
+
+        enc, post, dec = self.encoder, self.z2_posterior, self.decoder
+        if self.has_variable('packed', 'cvae_cf'):
+            operands, prob_ops = self.get_variable('packed', 'cvae_cf')
+        else:
+            wae_params = {
+                'encoder': enc.variables['params'],
+                'z2_posterior': post.variables['params'],
+                'decoder': dec.variables['params'],
+                'z2_prior': self.z2_prior.variables['params'],
+            }
+            operands, prob_ops = pack_cvae_cf_params(
+                wae_params,
+                z1_dim=self.z1_dim,
+                z2_dim=self.z2_dim,
+                l1=len(enc.mlp_dims),
+                l2=len(post.mlp_dims),
+                ld=len(dec.mlp_dims),
+                f1=max(enc.mlp_dims),
+                f2=max(post.mlp_dims),
+                fd=max(dec.mlp_dims),
+            )
+            if self.is_mutable_collection('packed'):
+                self.put_variable('packed', 'cvae_cf', (operands, prob_ops))
+        tokens = cvae_cf_tpu(
+            x,
+            probs,
+            operands,
+            prob_ops,
+            heads=(enc.n_heads, post.n_heads, dec.n_heads),
+            n_layers=(len(enc.mlp_dims), len(post.mlp_dims), len(dec.mlp_dims)),
+            embedding_dim=self.embedding_dim,
+        )
+        return tokens.reshape(x.shape[0], self.n_codes * self.embedding_dim)
 
     # ------------------------------------------------------------ generation
     def generate_discrete_latent_space(

@@ -399,3 +399,63 @@ class TestWFormerOnChip:
         monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
         slow = np.asarray(dec.apply(variables, z1, z2, train=False))
         _assert_norm_close(fused, slow)
+
+
+@requires_tpu
+class TestFusedCVAEOnChip:
+    """Single-launch fused counterfactual CVAE chain vs the XLA module path
+    at flagship dims (2+2+4 layers, d=512, T=256; pccf/kernels/pallas_cvae.py)."""
+
+    def test_counterfactual_chain(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from pccf.data.structures import WInputs
+        from pccf.models.w_autoencoders import WAutoEncoder
+        from pccf.nn.layers import gelu_exact
+        from pccf.nn.w_networks import (
+            ConditionalPrior,
+            TransformerWConditionalEncoder,
+            TransformerWDecoder,
+            TransformerWEncoder,
+        )
+
+        t, n_classes = 256, 4
+        wae = WAutoEncoder(
+            encoder=TransformerWEncoder(
+                z1_dim=16, n_codes=t, proj_dim=512, n_heads=8,
+                mlp_dims=(1024, 1024), dropout_rates=(0.0,) * 5, act=gelu_exact,
+            ),
+            decoder=TransformerWDecoder(
+                embedding_dim=4, n_codes=t, proj_dim=512, n_heads=8,
+                mlp_dims=(1024, 1024, 1024, 512), dropout_rates=(0.1,) * 5,
+                act=gelu_exact,
+            ),
+            z2_prior=ConditionalPrior(n_codes=t, z2_dim=16),
+            z2_posterior=TransformerWConditionalEncoder(
+                z2_dim=16, n_codes=t, proj_dim=512, n_heads=8,
+                mlp_dims=(1024, 1024), dropout_rates=(0.0,) * 5, act=gelu_exact,
+            ),
+            n_codes=t, embedding_dim=4, book_size=16,
+            z1_dim=16, z2_dim=16, n_classes=n_classes, conditional=True,
+        )
+        rng = np.random.default_rng(13)
+        w_q = jnp.asarray(rng.standard_normal((4, t * 4)).astype(np.float32))
+        logits = jnp.asarray(rng.standard_normal((4, n_classes)).astype(np.float32))
+        codebook = jnp.asarray(rng.standard_normal((t, 16, 4)).astype(np.float32))
+        inputs = WInputs(w_q, logits)
+        variables = wae.init(
+            {'params': jax.random.key(0), 'sampling': jax.random.key(1)},
+            inputs, codebook, train=False,
+        )
+
+        def run():
+            return wae.apply(
+                variables, inputs, codebook, 1, 0.7, method='generate_counterfactual'
+            )
+
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'pallas')
+        fused = run()
+        monkeypatch.setenv('PCCF_KERNEL_BACKEND', 'jnp')
+        slow = run()
+        _assert_norm_close(np.asarray(fused.w_recon), np.asarray(slow.w_recon))

@@ -28,7 +28,6 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from bench import _marginal_scan_time
     from pccf.config import get_config_all
     from pccf.data.structures import Inputs
     from pccf.models import get_autoencoder
@@ -63,10 +62,41 @@ def main():
         ).recon
         return c + 1e-3 * r, lg
 
+    # Compile the two scan lengths ONCE, then draw all 5 marginal samples
+    # from the same compiled loops (a fresh _marginal_scan_time per sample
+    # recompiles the full model twice per rep — 10+ min/combo, which blew
+    # the sweep's 900 s combo timeout).
+    import time as _time
+
+    def make(k):
+        @jax.jit
+        def loop(c, lg):
+            out, _ = jax.lax.scan(lambda cc, _: (step(cc), None), (c, lg), None, length=k)
+            return out[0].ravel()[0]
+
+        return loop
+
+    k_short, k_long = 1, 9
+    loops = {k: make(k) for k in (k_short, k_long)}
+    for lp in loops.values():
+        float(lp(cloud, logits))  # compile + warm
+
     samples = []
     for _ in range(5):
-        dt = _marginal_scan_time(step, (cloud, logits), k_short=1, k_long=9)
-        samples.append(batch / dt)
+        times = {}
+        for k, lp in loops.items():
+            best = float('inf')
+            for _ in range(2):
+                t0 = _time.time()
+                float(lp(cloud, logits))
+                best = min(best, _time.time() - t0)
+            times[k] = best
+        dt = (times[k_long] - times[k_short]) / (k_long - k_short)
+        if dt > 0:
+            samples.append(batch / dt)
+    if not samples:
+        print(json.dumps({'error': 'non-positive marginals'}))
+        return
     samples.sort()
     med = samples[len(samples) // 2]
     print(json.dumps({
