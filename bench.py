@@ -276,6 +276,24 @@ def bench_counterfactual(batch=16, n=2048):
                 server.counterfactual(cloud_b, 1, logits_b)
             best = min(best, (_time.time() - t0) / 4)
         out['serve_b64_samples_per_s'] = big / best
+
+        # pipelined serving: keep DEPTH requests in flight via the async API
+        # so host pad/transfer (the tunnel round trip) overlaps device
+        # compute — the engine's intended steady-state operating mode
+        depth, rounds = 3, 12
+        best_p = float('inf')
+        for _ in range(3):
+            futs = [
+                server.counterfactual_async(cloud_b, 1, logits_b) for _ in range(depth)
+            ]
+            t0 = _time.time()
+            for _ in range(rounds):
+                futs.pop(0).result()
+                futs.append(server.counterfactual_async(cloud_b, 1, logits_b))
+            best_p = min(best_p, (_time.time() - t0) / rounds)
+            for f in futs:
+                f.result()
+        out['serve_b64_pipelined_samples_per_s'] = big / best_p
     except Exception as e:
         out['serve_error'] = str(e)[:200]
     return out

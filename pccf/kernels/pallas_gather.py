@@ -10,10 +10,16 @@ drives dynamic row reads from the neighbour indices in SMEM, reducing
 ``take_along_axis`` + ``max`` route at the canonical (16, 2048, 25, 128)
 workload (1.2 ms vs 7.2 ms), bit-exact.
 
-The backward pass (training) routes the cotangent to each argmax row — a
-scatter-add the TPU has no fast path for, so it recomputes via the XLA
-gather; evaluation/generation (the counterfactual serving path) never pays
-that cost.
+The backward passes (training) are the transposed problem — scatter-adds of
+cotangent rows to neighbour rows.  XLA's TPU scatter processes indices
+near-serially at element granularity (measured ~100 ms of a 170 ms VQ-VAE
+train step, tools/profile_train.py round 4), so the backwards are Pallas
+kernels too: dynamic row read-modify-writes into a VMEM-resident (N, C)
+accumulator, the mirror image of the gather forward.  The max-pool forward
+records each channel's winning neighbour SLOT so its backward is a
+slot-masked row scatter (k row RMWs per centre instead of an elementwise
+scatter).  Grid steps are sequential on a TensorCore, so in-place
+accumulation across tiles is race-free.
 """
 
 from __future__ import annotations
@@ -90,20 +96,21 @@ def _pool_forward(x: Array, idx: Array) -> Array:
 
 
 def _pool_src_kernel(idx_ref, x_ref, out_ref, src_ref, *, tile: int, k: int, unroll: int):
-    """Max-pool that also records the argmax *source row* per channel, so the
-    backward is a pure scatter (no (B, N, k, C) re-gather).  Ties keep the
-    earliest neighbour slot, matching ``argmax``-first semantics."""
+    """Max-pool that also records the argmax *slot* (0..k-1) per channel, so
+    the backward is a slot-masked row scatter (no (B, N, k, C) re-gather).
+    Ties keep the earliest neighbour slot, matching ``argmax``-first
+    semantics."""
 
     def body(i0, _):
         for u in range(unroll):
             i = i0 * unroll + u
             row = x_ref[pl.ds(idx_ref[i, 0], 1), :]
-            src = jnp.full(row.shape, idx_ref[i, 0], jnp.int32)
+            src = jnp.zeros(row.shape, jnp.int32)
             for j in range(1, k):
                 cand = x_ref[pl.ds(idx_ref[i, j], 1), :]
                 upd = cand > row
                 row = jnp.where(upd, cand, row)
-                src = jnp.where(upd, idx_ref[i, j], src)
+                src = jnp.where(upd, j, src)
             out_ref[pl.ds(i, 1), :] = row
             src_ref[pl.ds(i, 1), :] = src
         return _
@@ -131,6 +138,82 @@ def _pool_src_forward(x: Array, idx: Array) -> tuple[Array, Array]:
     )(idx.astype(jnp.int32), x)
 
 
+def _scatter_add_kernel(idx_ref, g_ref, out_ref, *, tile: int, k: int, unroll: int):
+    """``dx[idx[i, j], :] += g[i, :]`` — row RMWs into the VMEM-resident
+    (N, C) accumulator, zeroed on the first tile of each batch element."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(i0, _):
+        for u in range(unroll):
+            i = i0 * unroll + u
+            g = g_ref[pl.ds(i, 1), :]
+            for j in range(k):
+                r = idx_ref[i, j]
+                out_ref[pl.ds(r, 1), :] += g
+        return _
+
+    jax.lax.fori_loop(0, tile // unroll, body, None)
+
+
+def _scatter_slot_kernel(idx_ref, slot_ref, g_ref, out_ref, *, tile: int, k: int, unroll: int):
+    """Max-pool backward: ``dx[idx[i, j], c] += g[i, c]`` where channel c's
+    winning slot is j — k slot-masked row RMWs per centre."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(i0, _):
+        for u in range(unroll):
+            i = i0 * unroll + u
+            g = g_ref[pl.ds(i, 1), :]
+            s = slot_ref[pl.ds(i, 1), :]
+            for j in range(k):
+                r = idx_ref[i, j]
+                out_ref[pl.ds(r, 1), :] += jnp.where(s == j, g, 0.0)
+        return _
+
+    jax.lax.fori_loop(0, tile // unroll, body, None)
+
+
+def _scatter_add_rows(g: Array, idx: Array, n: int) -> Array:
+    """Transpose of the row gather: ``dx (B, n, C)`` accumulating ``g`` rows
+    at ``idx`` rows.  ``g``: (B, M, C); ``idx``: (B, M, k)."""
+    b, m, c = g.shape
+    k = idx.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_scatter_add_kernel, tile=_TILE_N, k=k, unroll=_unroll()),
+        grid=(b, m // _TILE_N),
+        in_specs=[
+            pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, _TILE_N, c), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, n, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), g.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+    )(idx.astype(jnp.int32), g)
+
+
+def _scatter_add_slots(g: Array, idx: Array, slots: Array, n: int) -> Array:
+    b, m, c = g.shape
+    k = idx.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_scatter_slot_kernel, tile=_TILE_N, k=k, unroll=_unroll()),
+        grid=(b, m // _TILE_N),
+        in_specs=[
+            pl.BlockSpec((None, _TILE_N, k), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, _TILE_N, c), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _TILE_N, c), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, n, c), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), g.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+    )(idx.astype(jnp.int32), slots, g)
+
+
 @jax.custom_vjp
 def graph_max_pool_tpu(x: Array, idx: Array) -> Array:
     """``max_j x[b, idx[b, n, j], :]`` — Pallas forward, scatter backward."""
@@ -138,14 +221,17 @@ def graph_max_pool_tpu(x: Array, idx: Array) -> Array:
 
 
 def _pool_fwd(x, idx):
-    out, src = _pool_src_forward(x, idx)
-    return out, (x.shape, src)
+    out, slots = _pool_src_forward(x, idx)
+    return out, (x.shape, idx, slots)
 
 
 def _pool_bwd(res, g):
-    shape, rows = res
-    b, _, c = shape
-    bidx = jnp.arange(b)[:, None, None]
+    shape, idx, slots = res
+    n, c = shape[1], shape[2]
+    if gather_pool_supported(n, c) and g.shape[1] % _TILE_N == 0:
+        return _scatter_add_slots(g, idx, slots, n), None
+    rows = jnp.take_along_axis(idx, slots, axis=2)  # (B, M, C): winning row per channel
+    bidx = jnp.arange(shape[0])[:, None, None]
     cidx = jnp.arange(c)[None, None, :]
     dx = jnp.zeros(shape, g.dtype).at[bidx, rows, cidx].add(g)
     return dx, None
@@ -197,6 +283,9 @@ def _sum_pool_fwd(x, idx):
 
 def _sum_pool_bwd(res, g):
     shape, idx = res
+    n, c = shape[1], shape[2]
+    if gather_pool_supported(n, c) and g.shape[1] % _TILE_N == 0:
+        return _scatter_add_rows(g, idx, n), None
     b = jnp.arange(shape[0])[:, None, None]
     gk = jnp.broadcast_to(g[:, :, None, :], (*idx.shape, shape[-1]))
     dx = jnp.zeros(shape, g.dtype).at[b, idx, :].add(gk)
@@ -251,6 +340,13 @@ def _gather_fwd(x, idx):
 
 def _gather_bwd(res, g):
     shape, idx = res
+    bsz, n, c = shape
+    k = idx.shape[-1]
+    if gather_pool_supported(n, c) and (g.shape[1] * k) % _TILE_N == 0:
+        # flatten (centre, slot) to rows: a k=1 row scatter over N*k rows
+        gf = g.reshape(bsz, -1, c)
+        idxf = idx.reshape(bsz, -1, 1)
+        return _scatter_add_rows(gf, idxf, n), None
     b = jnp.arange(shape[0])[:, None, None]
     dx = jnp.zeros(shape, g.dtype).at[b, idx, :].add(g)
     return dx, None

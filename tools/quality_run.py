@@ -51,6 +51,13 @@ def main() -> None:
         'logic end-to-end without chip time',
     )
     ap.add_argument('--cpu', action='store_true', help='force the CPU backend')
+    ap.add_argument(
+        '--eval-only', action='store_true',
+        help='skip the training stages and re-run the evaluate suites from '
+        'the tag\'s existing checkpoints (for A/B of eval-path knobs, e.g. '
+        'PCCF_KNN_MXU=bf16 fidelity)',
+    )
+    ap.add_argument('--out', default='QUALITY_r4.json', help='output JSON filename')
     args = ap.parse_args()
 
     if args.cpu:  # must happen before first device use (sitecustomize pins axon)
@@ -163,7 +170,27 @@ def main() -> None:
         print(f'== stage {name} done in {dt:.0f}s ==', flush=True)
         return out, buf.getvalue()
 
-    with exp.create_run():
+    with exp.create_run(resume=args.eval_only):
+        if args.eval_only:
+            from evaluate_counterfactuals import evaluate_counterfactuals
+            from train_w_autoencoder import load_models
+
+            record['knobs'] = {
+                k: os.environ.get(k, '')
+                for k in ('PCCF_KNN_MXU', 'PCCF_KNN_GROUP', 'PCCF_POOL_UNROLL')
+            }
+            classifier, vqvae = load_models(cfg)
+            (metrics, eval_log) = stage(
+                'evaluate', lambda: evaluate_counterfactuals(cfg, classifier, vqvae)
+            )
+            _scrape_eval(record, metrics, eval_log)
+            record['exp_dir'] = os.environ['ROOT_EXP_DIR']
+            out_path = REPO / args.out
+            out_path.write_text(json.dumps(record, indent=1))
+            print(json.dumps(record))
+            print(f'wrote {out_path}')
+            return
+
         from train_classifier import train_classifier
 
         _, cls_log = stage('classifier', train_classifier)
@@ -200,33 +227,38 @@ def main() -> None:
         (metrics, eval_log) = stage(
             'evaluate', lambda: evaluate_counterfactuals(cfg, classifier, vqvae)
         )
-        record['stages']['evaluate']['original_metrics'] = {
-            k: float(v) for k, v in metrics.items()
-        }
-        # scrape every printed suite line: "[SuiteName] Metric: v, Metric: v"
-        suites = {}
-        for line in eval_log.splitlines():
-            m = re.match(r'^\[([A-Za-z_0-9]+)\] (.*)$', line.strip())
-            if m:
-                vals = re.findall(r'([A-Za-z][\w ]*?): (-?[0-9.eE+-]+)(?:,|$)', m.group(2))
-                suites[m.group(1)] = {k.strip(): float(v) for k, v in vals}
-        record['stages']['evaluate']['suites'] = suites
-        # "Overall misclassified counterfeit success:" block (name: value lines)
-        mm = re.search(
-            r'Overall misclassified counterfeit success:\n((?:[\w ]+: -?[0-9.eE+-]+\n?)+)',
-            eval_log,
-        )
-        if mm:
-            record['stages']['evaluate']['misclassified_overall'] = {
-                k.strip(): float(v)
-                for k, v in re.findall(r'([\w ]+): (-?[0-9.eE+-]+)', mm.group(1))
-            }
+        _scrape_eval(record, metrics, eval_log)
 
     record['exp_dir'] = os.environ['ROOT_EXP_DIR']
-    out_path = REPO / 'QUALITY_r4.json'
+    out_path = REPO / args.out
     out_path.write_text(json.dumps(record, indent=1))
     print(json.dumps(record))
     print(f'wrote {out_path}')
+
+
+def _scrape_eval(record: dict, metrics: dict, eval_log: str) -> None:
+    record['stages']['evaluate']['original_metrics'] = {
+        k: float(v) for k, v in metrics.items()
+    }
+    # scrape every printed suite line: "[SuiteName] Metric: v, Metric: v"
+    suites = {}
+    for line in eval_log.splitlines():
+        m = re.match(r'^\[([A-Za-z_0-9]+)\] (.*)$', line.strip())
+        if m:
+            vals = re.findall(r'([A-Za-z][\w ]*?): (-?[0-9.eE+-]+)(?:,|$)', m.group(2))
+            suites[m.group(1)] = {k.strip(): float(v) for k, v in vals}
+    record['stages']['evaluate']['suites'] = suites
+    # overall success blocks: "Overall [misclassified ]counterfeit success:"
+    for key, pat in (
+        ('counterfeit_overall', r'Overall counterfeit success:'),
+        ('misclassified_overall', r'Overall misclassified counterfeit success:'),
+    ):
+        mm = re.search(pat + r'\n((?:[\w ]+: -?[0-9.eE+-]+\n?)+)', eval_log)
+        if mm:
+            record['stages']['evaluate'][key] = {
+                k.strip(): float(v)
+                for k, v in re.findall(r'([\w ]+): (-?[0-9.eE+-]+)', mm.group(1))
+            }
 
 
 if __name__ == '__main__':
