@@ -8,6 +8,8 @@ buffer copy, w_autoencoders.py:124-129); randomness comes from the linen
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -133,6 +135,8 @@ class WAutoEncoder(nn.Module):
         ):
             return False
         if self.is_initializing() or not kapi.use_pallas():
+            return False
+        if os.environ.get('PCCF_CVAE_FUSED', '1') == '0':  # A/B kill-switch
             return False
         if not (enc.act is gelu_exact and post.act is gelu_exact and dec.act is gelu_exact):
             return False

@@ -65,6 +65,20 @@ def main() -> None:
         import jax
 
         jax.config.update('jax_platforms', 'cpu')
+    else:
+        # fail fast if the axon tunnel is wedged: device init hangs forever in
+        # that state (observed round 3/4) and the run would sit silent — probe
+        # it from a daemon thread and bail loudly instead
+        import threading
+
+        import jax
+
+        ready = threading.Event()
+        threading.Thread(target=lambda: (jax.devices(), ready.set()), daemon=True).start()
+        if not ready.wait(180):
+            print('FATAL: device init did not complete in 180 s - tunnel wedged', flush=True)
+            os._exit(3)
+        print(f'device ready: {jax.devices()[0].platform}', flush=True)
 
     os.environ.setdefault('ROOT_EXP_DIR', str(REPO / 'experiments' / args.tag))
     os.environ.setdefault('DATASET_DIR', str(REPO / 'datasets'))
