@@ -21,6 +21,7 @@ are the better estimator.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Callable, NamedTuple
 
@@ -222,6 +223,15 @@ class Trainer:
             return schema.base_lr * _traced_schedule(schema.schedule, epoch)
 
         opt = schema.optimizer_factory(lr_schedule, **schema.opt_settings)
+        if not self.frozen and os.environ.get('PCCF_FLAT_OPT', '1') != '0':
+            # one fused elementwise update over a single contiguous buffer
+            # instead of ~350 per-leaf fusions: the optimizer math (AdamW/
+            # SGD + uniform weight decay + a shared lr schedule) is
+            # leaf-position-independent, so flattening is exact. Kept
+            # per-leaf under multi_transform (flatten can't ravel masked
+            # subtrees); grad ops stay OUTSIDE the flatten so per-leaf
+            # clipper semantics are preserved.
+            opt = optax.flatten(opt)
         grad_op = get_grad_op(schema.gradient_op_name, schema.clip_criterion)
         tx = optax.chain(grad_op, opt)
         if self.frozen:

@@ -285,3 +285,35 @@ class TestShardedTraining:
         batch = np.zeros((16, 8, 3), np.float32)
         sharded = shard_batch(batch, mesh)
         assert sharded.sharding.shard_shape(sharded.shape)[0] == 2
+
+
+class TestFlattenedOptimizer:
+    def test_flat_opt_matches_per_leaf(self, cfg, monkeypatch):
+        """PCCF_FLAT_OPT wraps the optimizer in optax.flatten (one fused
+        update over a contiguous buffer).  AdamW + uniform weight decay +
+        a shared lr schedule are leaf-position-independent, so 2 epochs of
+        training must produce identical parameters either way."""
+
+        def train_params(flat: str):
+            monkeypatch.setenv('PCCF_FLAT_OPT', flat)
+            Singleton.reset_all()
+            module = get_classifier(cfg)
+            model = Model(module, name=f'DGCNN-{flat}', seed=0)
+            train_ds, _ = get_datasets(cfg)
+            sample = train_ds[0]
+            model.initialize(
+                type(sample[0])(cloud=np.stack([sample[0].cloud])), train=False
+            )
+            trainer = Trainer(
+                model,
+                DataLoader(train_ds, cfg.classifier.train.batch_size_per_device),
+                get_classification_loss(),
+                get_learning_schema(cfg.classifier),
+            )
+            trainer.train_until(cfg.classifier.train.n_epochs)
+            return jax.device_get(model.params)
+
+    
+        flat, per_leaf = train_params('1'), train_params('0')
+        for a, b in zip(jax.tree.leaves(flat), jax.tree.leaves(per_leaf), strict=True):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
