@@ -20,8 +20,19 @@ cross-shard terms:
   ``top_k`` per centre shard.
 
 These mirror the single-device goldens in :mod:`pccf.kernels.ops` exactly
-(tests assert value + gradient equality on a virtual mesh); the single-chip
-Pallas kernels remain the fast path within each shard-free batch.
+(tests assert value + gradient equality on a virtual mesh).  Within each
+shard, :func:`sp_chamfer` dispatches the fused Pallas NN kernel through
+``kernels.api`` (the (n_loc, M) distance slab stays in VMEM on TPU);
+:func:`sp_match_cost` and :func:`sp_knn` run the golden math per shard by
+design, not as a stopgap: the ApproxMatch recursion needs one cross-shard
+``psum`` (the column demand) *per relaxation level*, and a pallas_call
+cannot host collectives mid-launch — the single-chip kernel's big wins
+(phase fusion across levels, one deferred gradient matmul) are exactly the
+fusions the per-level collective contract forbids.  What remains per level
+is three ``einsum`` sweeps that XLA already lowers to MXU matmuls; the
+reachable Pallas gain per shard is d2 VMEM-residency only.  ``sp_knn``'s
+``top_k`` similarly lacks the self-shortcut structure the packed-key
+tournament kernel exploits.
 """
 
 from __future__ import annotations
