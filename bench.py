@@ -370,11 +370,18 @@ def main() -> None:
     # run (e.g. verification while the tunnel is down) must also apply the
     # config override inside the subprocess, or the probe would hang on the
     # tunnel the parent explicitly opted out of.
+    # The probe must EXECUTE an op, not just enumerate devices: the 19 Aug
+    # wedge mode had jax.devices() returning instantly while every
+    # execution hung, so an init-only probe would wave the bench through
+    # into an unbounded hang.
     probe_src = (
         'import os, jax\n'
         "if os.environ.get('JAX_PLATFORMS', '').startswith('cpu'):\n"
         "    jax.config.update('jax_platforms', 'cpu')\n"
         'jax.devices()\n'
+        'import jax.numpy as jnp\n'
+        'x = jnp.ones((128, 128))\n'
+        'assert float((x @ x).sum()) > 0\n'
     )
     err: Exception | None = None
     for attempt in range(tries):
