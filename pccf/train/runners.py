@@ -213,7 +213,13 @@ class Trainer:
     def _steps_per_epoch(self) -> int:
         return self.loader.n_batches(inference=False)
 
-    def _make_tx(self) -> optax.GradientTransformation:
+    # Subclasses whose parameters carry non-replicated shardings (TPTrainer)
+    # set this False: optax.flatten concatenates every leaf into one vector,
+    # which under GSPMD would all-gather/re-shard the full parameter set
+    # every step.
+    flatten_optimizer: bool = True
+
+    def _make_tx(self, flat: bool | None = None) -> optax.GradientTransformation:
         steps = self._steps_per_epoch()
         schema = self.schema
 
@@ -223,7 +229,9 @@ class Trainer:
             return schema.base_lr * _traced_schedule(schema.schedule, epoch)
 
         opt = schema.optimizer_factory(lr_schedule, **schema.opt_settings)
-        if not self.frozen and os.environ.get('PCCF_FLAT_OPT', '1') != '0':
+        if flat is None:
+            flat = self.flatten_optimizer
+        if flat and not self.frozen and os.environ.get('PCCF_FLAT_OPT', '1') != '0':
             # one fused elementwise update over a single contiguous buffer
             # instead of ~350 per-leaf fusions: the optimizer math (AdamW/
             # SGD + uniform weight decay + a shared lr schedule) is
@@ -274,10 +282,10 @@ class Trainer:
             self._state = replicate(jax.device_get(state), self.mesh)
         return self._state
 
-    def _build_train_step(self):
+    def _build_train_step(self, tx: optax.GradientTransformation | None = None):
         module = self.model.module
         objective = self.objective
-        tx = self._tx
+        tx = self._tx if tx is None else tx
         has_stats = self.model.batch_stats is not None and bool(
             jax.tree.leaves(self.model.batch_stats)
         )

@@ -39,7 +39,22 @@ def _tp_opt_state(tx, params: Any, mesh: Mesh, min_size: int) -> Any:
     return shard_params_tp(opt_state, mesh, min_size=min_size)
 
 
-def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
+def _probe_tx(trainer: Any):
+    """Per-leaf optimiser for the TP probe path, cached on the trainer.
+
+    The trainer's own tx may be optax.flatten-wrapped (the DP fast path);
+    flattening concatenates every param leaf into one vector, which on
+    column-sharded TP params forces a full all-gather/re-shard per step —
+    the probe always runs per-leaf (identical math, see the flatten parity
+    test).  The trainer's ``_tx``/``_train_fn`` are never touched, so DP
+    stepping on the same trainer keeps its own (possibly flat) state.
+    """
+    if getattr(trainer, '_tp_probe_tx', None) is None:
+        trainer._tp_probe_tx = trainer._make_tx(flat=False)
+    return trainer._tp_probe_tx
+
+
+def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32, tx: Any = None):
     """TrainState with column-parallel params and a matching optimiser state.
 
     The moments are explicitly re-sharded to the parameter layout by
@@ -52,10 +67,10 @@ def tp_state(trainer: Any, mesh: Mesh, min_size: int = 32):
     every device) only to discard it — doubling peak HBM on exactly the
     models TP exists to serve.  Only the optimiser definition is needed here.
     """
-    if trainer._tx is None:
-        trainer._tx = trainer._make_tx()
+    if tx is None:
+        tx = _probe_tx(trainer)
     params = shard_params_tp(jax.device_get(trainer.model.params), mesh, min_size=min_size)
-    opt_state = _tp_opt_state(trainer._tx, params, mesh, min_size)
+    opt_state = _tp_opt_state(tx, params, mesh, min_size)
     step = trainer.model.epoch * trainer._steps_per_epoch()
     if step:
         # same weights-only-resume alignment as Trainer._ensure_state and
@@ -107,12 +122,15 @@ def tp_train_step(
     """
     from pccf.dist.mesh import shard_batch
 
-    state = tp_state(trainer, mesh, min_size=min_size)  # also builds trainer._tx
-    if trainer._train_fn is None:  # jitted step only — no replicated DP state
-        trainer._train_fn = trainer._build_train_step()
+    tx = _probe_tx(trainer)
+    state = tp_state(trainer, mesh, min_size=min_size, tx=tx)
+    if getattr(trainer, '_tp_probe_fn', None) is None:
+        # jitted step closing over the probe's per-leaf tx — cached separately
+        # from trainer._train_fn (whose tx may be flatten-wrapped for DP)
+        trainer._tp_probe_fn = trainer._build_train_step(tx=tx)
     binputs = shard_batch(inputs, mesh, strict=True)
     btargets = shard_batch(targets, mesh, strict=True)
-    new_state, metrics = trainer._train_fn(
+    new_state, metrics = trainer._tp_probe_fn(
         state, binputs, btargets, rng, jnp.asarray(epoch, jnp.float32)
     )
     jax.block_until_ready(new_state.params)
@@ -138,6 +156,8 @@ class TPTrainer(Trainer):
     The train step itself is the base class's jitted function: GSPMD derives
     the mp all-gathers/reduce-scatters from the parameter layout alone.
     """
+
+    flatten_optimizer = False  # params are column-sharded; see Trainer._make_tx
 
     def __init__(self, model, loader, loss, learning_schema, mesh: Mesh, min_size: int = 32, frozen: tuple[str, ...] = ()):
         if not {'dp', 'mp'} <= set(dict(mesh.shape)):
