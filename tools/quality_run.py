@@ -40,7 +40,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs-cls', type=int, default=45)
     ap.add_argument('--epochs-ae', type=int, default=200)
-    ap.add_argument('--epochs-wae', type=int, default=100)
+    ap.add_argument('--epochs-wae', type=int, default=300)
+    # Counterfactual-flip regime (tools/flip_probe.py sweep, round 4): on the
+    # synthetic surrogate the reference's c_kld1=0.1 leaves z1 carrying the
+    # class (flip rate = chance even at 1000 epochs); c_kld1=0.3 with the
+    # anneal fully completed compresses z1 (~1.5 nats) and flips 100%.  The
+    # KLD weight must be scaled to the data's recon energy — 0.1 is the
+    # published ShapeNet value (reference vae_objective.yaml), 0.3 is the
+    # surrogate default here.
+    ap.add_argument('--c-kld1', type=float, default=0.3)
+    ap.add_argument('--c-kld2', type=float, default=4.0)
     ap.add_argument('--n-train', type=int, default=512)
     ap.add_argument('--n-test', type=int, default=128)
     ap.add_argument('--variability', type=float, default=0.85)
@@ -96,6 +105,8 @@ def main() -> None:
         f'classifier.train.n_epochs={args.epochs_cls}',
         f'autoencoder.train.n_epochs={args.epochs_ae}',
         f'w_autoencoder.train.n_epochs={args.epochs_wae}',
+        f'w_autoencoder.objective.c_kld1={args.c_kld1}',
+        f'w_autoencoder.objective.c_kld2={args.c_kld2}',
         # quality-run practicality: no early stop (we want the full schedule
         # on the record), checkpoint at the end only
         'classifier.train.early_stopping.active=false',
@@ -155,6 +166,7 @@ def main() -> None:
             'n_test': args.n_test,
             'points': cfg.data.n_input_points,
             'epochs': [args.epochs_cls, args.epochs_ae, args.epochs_wae],
+            'c_kld': [args.c_kld1, args.c_kld2],
             'batch_sizes': [
                 cfg.classifier.train.batch_size,
                 cfg.autoencoder.train.batch_size,
