@@ -33,6 +33,19 @@ A100_EST_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
 A100_EST_CF_SAMPLES_PER_S = 900.0  # counterfactual decode estimate, see BASELINE.md
 
 
+def _progress(msg: str) -> None:
+    """Timestamped progress line on stderr (stdout stays the one JSON line).
+
+    The full bench is ~10 compile-heavy sections over the tunnel; without
+    per-section stamps a driver-side timeout kill is undiagnosable."""
+    import sys
+
+    print(f'[bench +{time.time() - _T0:7.1f}s] {msg}', file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+
 def _marginal_scan_time(step_fn, args, k_short=2, k_long=12, repeats=2) -> float:
     """Marginal seconds/iteration of ``step_fn`` chained inside lax.scan.
 
@@ -133,6 +146,7 @@ def bench_loss_kernels(batch=8, n=2048):
         # not the parity metric; fused single-launch form like the headline
         ('chamfer_sinkhorn', lambda a, b: sum(map(jnp.sum, kapi.chamfer_sinkhorn_cost(a, b)))),
     ]:
+        _progress(f'loss kernel: {name}')
         try:
             dt, spread = _median_scan_time(make_step(loss), (x, y))
         except Exception as e:
@@ -164,6 +178,7 @@ def bench_auction(n=2048):
     """Auction EMD at the reference contract operating points
     (external/emd/emd/emd_module.py:25-31): train eps=0.005/50 iters,
     eval eps=0.002/10000-iter cap (compacted auction exits at convergence)."""
+    _progress('auction EMD')
     import time as _time
 
     import jax.numpy as jnp
@@ -192,6 +207,7 @@ def bench_auction(n=2048):
 def bench_counterfactual(batch=16, n=2048):
     """Full counterfactual decode (encode -> interpolate -> decode) at the
     reference flagship shapes: w_dim 1024 = 256 codes x 4, transformer 512."""
+    _progress('counterfactual: build + init')
     import jax
 
     from pccf.config import get_config_all
@@ -246,6 +262,7 @@ def bench_counterfactual(batch=16, n=2048):
     # throughput-oriented serving point: larger batch amortises the per-call
     # issue-bound kernel portions (the reference serves at batch 16; this is
     # an extra, not the parity number)
+    _progress('counterfactual: b64 point')
     big = 64
     cloud_b = rng.standard_normal((big, n, 3)).astype(np.float32) / 2
     logits_b = rng.standard_normal((big, 2)).astype(np.float32)
@@ -259,6 +276,7 @@ def bench_counterfactual(batch=16, n=2048):
     # over the raw model path above (an extra: its failure must not lose the
     # already-measured counterfactual parity numbers)
     try:
+        _progress('serving engine')
         import time as _time
 
         from pccf.serve import CounterfactualServer
@@ -302,6 +320,7 @@ def bench_counterfactual(batch=16, n=2048):
 def bench_train_step(batch=8, n=2048, iters=8):
     """Full VQ-VAE training-step throughput (fwd + Chamfer+EMD loss + bwd +
     AdamW update + host metric fetch), the reference's stage-1 hot loop."""
+    _progress('train step: build + init')
     import time as _time
 
     import jax
@@ -408,6 +427,7 @@ def main() -> None:
         }))
         raise SystemExit(1)
 
+    _progress('device probe ok')
     try:
         results = bench_loss_kernels()
     except Exception as e:
