@@ -1,7 +1,10 @@
 """Benchmark: Chamfer/EMD pairs/sec/chip @ 2048 pts + counterfactual throughput.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Prints one JSON summary line per completed SECTION (each a full, parseable
+record of everything measured so far — same schema every time); the LAST
+line printed is the final summary.  A driver-side timeout kill therefore
+never loses completed measurements (round 4's all-or-nothing output turned
+an rc=124 into a null record; this is the fix).
 
 The DRIVER-captured run of this script (BENCH_r{N}.json) is the official
 record for the round; numbers measured by ad-hoc runs are "best observed"
@@ -13,28 +16,43 @@ forward+backward at 2048 points — the reference autoencoder's hot loss path.
 estimate for the reference CUDA kernels (BASELINE.md: ~2000 pairs/s fwd+bwd;
 the reference repo publishes no numbers).
 
+Timeout resilience (VERDICT r4 #2):
+- sections are ordered most-important-first: headline loss -> counterfactual
+  parity point -> train step -> serving -> loss extras -> auction;
+- a persistent XLA compilation cache (``.jax_cache/``) amortises the
+  ~650 s flagship-model compile across runs;
+- a wall-clock budget (env ``PCCF_BENCH_BUDGET_S``, default 1650 s) degrades
+  the per-metric rep count 5 -> 3 -> 1 and skips non-headline sections
+  rather than overrunning; skipped sections are recorded on the line.
+
 Timing methodology: the step is iterated inside a jitted ``lax.scan`` with a
 real data dependency between iterations; per-step time is the *marginal* time
 between a long and a short scan, which cancels the fixed dispatch/transfer
 overhead of the remote-TPU tunnel exactly.  Every reported metric is the
-MEDIAN of ``PCCF_BENCH_REPS`` (default 5) independent marginal measurements;
-the relative spread (max-min)/median across those measurements is reported
-alongside the headline metrics so run-to-run variance is on the record.
+MEDIAN of ``PCCF_BENCH_REPS`` (default 5, budget-degradable) independent
+marginal measurements; the relative spread (max-min)/median across those
+measurements is reported alongside the headline metrics so run-to-run
+variance is on the record.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+from pathlib import Path
 
 import numpy as np
 
 A100_EST_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
 A100_EST_CF_SAMPLES_PER_S = 900.0  # counterfactual decode estimate, see BASELINE.md
 
+_T0 = time.time()
+_REPO = Path(__file__).resolve().parent
+
 
 def _progress(msg: str) -> None:
-    """Timestamped progress line on stderr (stdout stays the one JSON line).
+    """Timestamped progress line on stderr (stdout carries only JSON lines).
 
     The full bench is ~10 compile-heavy sections over the tunnel; without
     per-section stamps a driver-side timeout kill is undiagnosable."""
@@ -43,7 +61,40 @@ def _progress(msg: str) -> None:
     print(f'[bench +{time.time() - _T0:7.1f}s] {msg}', file=sys.stderr, flush=True)
 
 
-_T0 = time.time()
+class _Budget:
+    """Wall-clock budget: degrade reps and skip extras instead of overrunning.
+
+    ``PCCF_BENCH_BUDGET_S`` defaults to 1650 s (the round-4 driver kill
+    landed between +1557 and +1800 s; staying under ~1650 leaves margin for
+    the final JSON emission even on a cold compile cache)."""
+
+    def __init__(self) -> None:
+        self.total = float(os.environ.get('PCCF_BENCH_BUDGET_S', '1650'))
+        self._reps_env = os.environ.get('PCCF_BENCH_REPS')
+
+    def left(self) -> float:
+        return self.total - (time.time() - _T0)
+
+    def reps(self) -> int:
+        """Median-of-N rep count, degraded as the budget drains."""
+        if self._reps_env is not None:
+            return max(1, int(self._reps_env))
+        left = self.left()
+        if left > 500:
+            return 5
+        if left > 250:
+            return 3
+        return 1
+
+    def allow(self, section: str, est_s: float) -> bool:
+        """Gate a section on its cost estimate; log the skip if over budget."""
+        if self.left() >= est_s:
+            return True
+        _progress(f'SKIP {section}: {self.left():.0f}s left < ~{est_s:.0f}s estimate')
+        return False
+
+
+_BUDGET = _Budget()
 
 
 def _marginal_scan_time(step_fn, args, k_short=2, k_long=12, repeats=2) -> float:
@@ -89,125 +140,141 @@ def _marginal_scan_time(step_fn, args, k_short=2, k_long=12, repeats=2) -> float
     )
 
 
-def _bench_reps() -> int:
-    import os
-
-    return max(1, int(os.environ.get('PCCF_BENCH_REPS', '5')))
-
-
 def _median_scan_time(step_fn, args, **kw) -> tuple[float, float]:
-    """Median of ``PCCF_BENCH_REPS`` independent marginal measurements plus
-    the relative spread (max-min)/median across them.  Compiles are cached
-    after the first measurement, so extra reps cost only execution time —
-    this is the variance control the round-3 verdict asked for (the same
-    code measured 4,104 then 3,131 pairs/s an hour apart on single-shot
+    """Median of budget-degradable rep-count independent marginal measurements
+    plus the relative spread (max-min)/median across them.  Compiles are
+    cached after the first measurement, so extra reps cost only execution
+    time — this is the variance control the round-3 verdict asked for (the
+    same code measured 4,104 then 3,131 pairs/s an hour apart on single-shot
     marginals)."""
-    samples = sorted(_marginal_scan_time(step_fn, args, **kw) for _ in range(_bench_reps()))
+    reps = _BUDGET.reps()
+    samples = sorted(_marginal_scan_time(step_fn, args, **kw) for _ in range(reps))
     med = samples[len(samples) // 2]
     spread = (samples[-1] - samples[0]) / med if med > 0 else 0.0
     return med, spread
 
 
-def bench_loss_kernels(batch=8, n=2048):
-    import jax
+def _loss_pairs(batch=8, n=2048):
     import jax.numpy as jnp
-
-    from pccf.kernels import api as kapi
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, n, 3)).astype(np.float32) / 2)
     y = jnp.asarray(rng.standard_normal((batch, n, 3)).astype(np.float32) / 2)
+    return x, y
 
-    def make_step(loss_fn):
-        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
-        def step(carry):
-            cx, cy = carry
-            _, (gx, gy) = grad_fn(cx, cy)
-            return cx + 1e-3 * gx, cy + 1e-3 * gy
+def _make_loss_step(loss_fn):
+    import jax
 
-        return step
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
+
+    def step(carry):
+        cx, cy = carry
+        _, (gx, gy) = grad_fn(cx, cy)
+        return cx + 1e-3 * gx, cy + 1e-3 * gy
+
+    return step
+
+
+def bench_loss_headline(batch=8, n=2048):
+    """The headline: the ChamferEMD composite as the training loss actually
+    runs it (get_chamfer_emd_losses) — ONE fused kernel launch emitting the
+    EMD relaxation AND chamfer's min/argmin from the shared d2 sweep.  Falls
+    back to the two-launch construction, then to the jnp golden path, rather
+    than losing the record."""
+    import jax.numpy as jnp
+
+    from pccf.kernels import api as kapi
+
+    x, y = _loss_pairs(batch, n)
 
     def _fused(a, b):
         cham, emd = kapi.chamfer_match_cost(a, b)
         return jnp.sum(cham) + jnp.sum(emd)
 
+    def _2launch(a, b):
+        return jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.match_cost(a, b))
+
     results = {}
-    for name, loss in [
-        # the headline: the ChamferEMD composite as the training loss actually
-        # runs it (get_chamfer_emd_losses) — ONE fused kernel launch emitting
-        # the EMD relaxation AND chamfer's min/argmin from the shared d2 sweep
-        ('chamfer_emd', _fused),
-        # the two-launch construction, kept for comparison with round-2 numbers
-        ('chamfer_emd_2launch', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.match_cost(a, b))),
-        ('chamfer', lambda a, b: jnp.sum(kapi.chamfer(a, b))),
-        ('emd', lambda a, b: jnp.sum(kapi.match_cost(a, b))),
-        # opt-in entropic-OT surrogate (ChamferSinkhorn objective) — extra,
-        # not the parity metric; fused single-launch form like the headline
-        ('chamfer_sinkhorn', lambda a, b: sum(map(jnp.sum, kapi.chamfer_sinkhorn_cost(a, b)))),
+    _progress('loss kernel: chamfer_emd (headline)')
+    try:
+        dt, spread = _median_scan_time(_make_loss_step(_fused), (x, y))
+        results['chamfer_emd_pairs_per_s'] = batch / dt
+        results['chamfer_emd_ms_per_batch'] = dt * 1e3
+        results['chamfer_emd_spread'] = spread
+        return results
+    except Exception as e:
+        results['chamfer_emd_error'] = str(e)[:200]
+    # fused variant failed (e.g. a Mosaic regression in the chamfer-in-EMD
+    # outputs): fall back to the two-launch number as the headline rather
+    # than losing the bench, keeping the error on record
+    _progress('loss kernel: chamfer_emd_2launch (fallback headline)')
+    try:
+        dt, spread = _median_scan_time(_make_loss_step(_2launch), (x, y))
+        results['chamfer_emd_2launch_pairs_per_s'] = batch / dt
+        results['chamfer_emd_2launch_ms_per_batch'] = dt * 1e3
+        results['chamfer_emd_pairs_per_s'] = batch / dt
+        results['chamfer_emd_ms_per_batch'] = dt * 1e3
+        results['chamfer_emd_spread'] = spread
+        return results
+    except Exception as e:
+        results['chamfer_emd_2launch_error'] = str(e)[:200]
+    # Last resort: a Mosaic lowering regression in the shared EMD kernel core
+    # takes down BOTH Pallas variants.  A slow-but-real number from the jnp
+    # golden path (XLA-compiled on the chip) beats a 0.0 record; the Pallas
+    # errors stay on the line for diagnosis.
+    _progress('loss kernel: jnp golden fallback')
+    with kapi.force_backend('jnp'):
+        dt, spread = _median_scan_time(_make_loss_step(_2launch), (x, y))
+    results['chamfer_emd_pairs_per_s'] = batch / dt
+    results['chamfer_emd_ms_per_batch'] = dt * 1e3
+    results['chamfer_emd_spread'] = spread
+    results['loss_backend'] = 'jnp-fallback'
+    return results
+
+
+def bench_loss_extras(batch=8, n=2048):
+    """Non-headline loss kernels: the two-launch construction (round-2
+    comparison point), standalone Chamfer, standalone ApproxMatch EMD, and
+    the opt-in entropic-OT surrogate (ChamferSinkhorn objective)."""
+    import jax.numpy as jnp
+
+    from pccf.kernels import api as kapi
+
+    x, y = _loss_pairs(batch, n)
+    results = {}
+    for name, loss, est in [
+        ('chamfer_emd_2launch', lambda a, b: jnp.sum(kapi.chamfer(a, b)) + jnp.sum(kapi.match_cost(a, b)), 90),
+        ('chamfer', lambda a, b: jnp.sum(kapi.chamfer(a, b)), 60),
+        ('emd', lambda a, b: jnp.sum(kapi.match_cost(a, b)), 80),
+        ('chamfer_sinkhorn', lambda a, b: sum(map(jnp.sum, kapi.chamfer_sinkhorn_cost(a, b))), 80),
     ]:
+        if not _BUDGET.allow(f'loss:{name}', est):
+            results[f'{name}_skipped'] = 'budget'
+            continue
         _progress(f'loss kernel: {name}')
         try:
-            dt, spread = _median_scan_time(make_step(loss), (x, y))
+            dt, _ = _median_scan_time(_make_loss_step(loss), (x, y))
         except Exception as e:
-            # an extra (non-headline) kernel failing — e.g. the opt-in
-            # Sinkhorn entry hitting a Mosaic lowering issue — must not take
-            # down the chamfer_emd headline metric
+            # an extra kernel failing — e.g. the opt-in Sinkhorn entry hitting
+            # a Mosaic lowering issue — must not take down the record
             results[f'{name}_error'] = str(e)[:200]
             continue
         results[f'{name}_pairs_per_s'] = batch / dt
         results[f'{name}_ms_per_batch'] = dt * 1e3
-        if name == 'chamfer_emd':
-            results['chamfer_emd_spread'] = spread
-    if 'chamfer_emd_pairs_per_s' not in results:
-        # fused variant failed (e.g. a Mosaic regression in the new
-        # chamfer-in-EMD outputs): fall back to the two-launch number as the
-        # headline rather than losing the bench, keeping the error on record
-        if 'chamfer_emd_2launch_pairs_per_s' not in results:
-            raise RuntimeError(
-                f'both combined-loss variants failed: '
-                f'{results.get("chamfer_emd_error")} / '
-                f'{results.get("chamfer_emd_2launch_error")}'
-            )
-        results['chamfer_emd_pairs_per_s'] = results['chamfer_emd_2launch_pairs_per_s']
-        results['chamfer_emd_ms_per_batch'] = results['chamfer_emd_2launch_ms_per_batch']
     return results
 
 
-def bench_auction(n=2048):
-    """Auction EMD at the reference contract operating points
-    (external/emd/emd/emd_module.py:25-31): train eps=0.005/50 iters,
-    eval eps=0.002/10000-iter cap (compacted auction exits at convergence)."""
-    _progress('auction EMD')
-    import time as _time
-
-    import jax.numpy as jnp
-
-    from pccf.kernels.auction_emd import auction_emd
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((1, n, 3)).astype(np.float32))
-    y = jnp.asarray(rng.random((1, n, 3)).astype(np.float32))
-    out = {}
-    for tag, eps, iters in [('train', 0.005, 50), ('eval', 0.002, 10000)]:
-        dis, a = auction_emd(x, y, eps=eps, iters=iters)  # compile + warm
-        dis.block_until_ready()
-        best = float('inf')
-        for _ in range(3):
-            t0 = _time.time()
-            dis, a = auction_emd(x, y, eps=eps, iters=iters)
-            dis.block_until_ready()
-            best = min(best, _time.time() - t0)
-        out[f'auction_{tag}_ms'] = best * 1e3
-        if tag == 'eval':
-            out['auction_eval_converged'] = bool((np.asarray(a) >= 0).all())
-    return out
+_CF_MODEL_CACHE: dict = {}
 
 
-def bench_counterfactual(batch=16, n=2048):
-    """Full counterfactual decode (encode -> interpolate -> decode) at the
-    reference flagship shapes: w_dim 1024 = 256 codes x 4, transformer 512."""
-    _progress('counterfactual: build + init')
+def _build_cf_model(batch=16, n=2048):
+    """Flagship counterfactual model + packed serving variables + step fn.
+
+    Memoized per (batch, n): the counterfactual and serving sections share
+    one build (the flagship model costs minutes of XLA compile cold)."""
+    if (batch, n) in _CF_MODEL_CACHE:
+        return _CF_MODEL_CACHE[(batch, n)]
     import jax
 
     from pccf.config import get_config_all
@@ -250,35 +317,59 @@ def bench_counterfactual(batch=16, n=2048):
         ).recon
         return cloud_c + 1e-3 * recon, logits_c
 
+    out = (model, variables, step, cloud, logits)
+    _CF_MODEL_CACHE[(batch, n)] = out
+    return out
+
+
+def bench_counterfactual(batch=16, n=2048):
+    """Full counterfactual decode (encode -> interpolate -> decode) at the
+    reference flagship shapes: w_dim 1024 = 256 codes x 4, transformer 512.
+    This is the B=16 parity point only; the throughput-oriented B=64 and
+    serving-layer points are a separate (skippable) section."""
+    _progress('counterfactual: build + init')
+    import jax
+
+    _, _, step, cloud, logits = _build_cf_model(batch, n)
+    _progress('counterfactual: b16 parity point')
     dt, spread = _median_scan_time(
         step, (jax.numpy.asarray(cloud), jax.numpy.asarray(logits)), k_short=1, k_long=9
     )
-    out = {
+    return {
         'counterfactual_samples_per_s': batch / dt,
         'counterfactual_batch_ms': dt * 1e3,
         'counterfactual_vs_baseline': batch / dt / A100_EST_CF_SAMPLES_PER_S,
         'counterfactual_spread': spread,
     }
-    # throughput-oriented serving point: larger batch amortises the per-call
-    # issue-bound kernel portions (the reference serves at batch 16; this is
-    # an extra, not the parity number)
-    _progress('counterfactual: b64 point')
-    big = 64
+
+
+def bench_serving(batch=16, n=2048, big=64, engine=True):
+    """Throughput-oriented serving points: raw B=64 decode (amortises the
+    per-call issue-bound kernel portions), the serving engine end-to-end
+    (bucketed jit cache + host pad/unpad + device_get), and the async
+    pipelined mode (depth-3 in flight so host transfer overlaps device
+    compute — the engine's intended steady state).  ``engine=False`` stops
+    after the raw point (the CPU verify path: the engine itself is covered
+    by tests/test_serve.py and its CPU compile is minutes-slow)."""
+    import time as _time
+
+    import jax
+
+    model, variables, step, _, _ = _build_cf_model(batch, n)
+    rng = np.random.default_rng(1)
+    out = {}
+    _progress(f'serving: b{big} raw point')
     cloud_b = rng.standard_normal((big, n, 3)).astype(np.float32) / 2
     logits_b = rng.standard_normal((big, 2)).astype(np.float32)
     dt_b, _ = _median_scan_time(
         step, (jax.numpy.asarray(cloud_b), jax.numpy.asarray(logits_b)), k_short=1, k_long=5
     )
     out['counterfactual_b64_samples_per_s'] = big / dt_b
+    if not engine:
+        return out
 
-    # serving-layer point: the same decode through pccf.serve (bucketed jit
-    # cache + host pad/unpad + device_get) — quantifies serving overhead
-    # over the raw model path above (an extra: its failure must not lose the
-    # already-measured counterfactual parity numbers)
     try:
-        _progress('serving engine')
-        import time as _time
-
+        _progress('serving: engine + pipelined')
         from pccf.serve import CounterfactualServer
         from pccf.train import Model as _Model
 
@@ -296,8 +387,6 @@ def bench_counterfactual(batch=16, n=2048):
         out['serve_b64_samples_per_s'] = big / best
 
         # pipelined serving: keep DEPTH requests in flight via the async API
-        # so host pad/transfer (the tunnel round trip) overlaps device
-        # compute — the engine's intended steady-state operating mode
         depth, rounds = 3, 12
         best_p = float('inf')
         for _ in range(3):
@@ -314,6 +403,39 @@ def bench_counterfactual(batch=16, n=2048):
         out['serve_b64_pipelined_samples_per_s'] = big / best_p
     except Exception as e:
         out['serve_error'] = str(e)[:200]
+    return out
+
+
+def bench_auction(n=2048):
+    """Auction EMD at the reference contract operating points
+    (external/emd/emd/emd_module.py:25-31): train eps=0.005/50 iters,
+    eval eps=0.002/10000-iter cap (compacted auction exits at convergence)."""
+    _progress('auction EMD')
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from pccf.kernels.auction_emd import auction_emd
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, n, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((1, n, 3)).astype(np.float32))
+    out = {}
+    for tag, eps, iters in [('train', 0.005, 50), ('eval', 0.002, 10000)]:
+        if tag == 'eval' and not _BUDGET.allow('auction:eval', 60):
+            out['auction_eval_skipped'] = 'budget'
+            continue
+        dis, a = auction_emd(x, y, eps=eps, iters=iters)  # compile + warm
+        dis.block_until_ready()
+        best = float('inf')
+        for _ in range(3):
+            t0 = _time.time()
+            dis, a = auction_emd(x, y, eps=eps, iters=iters)
+            dis.block_until_ready()
+            best = min(best, _time.time() - t0)
+        out[f'auction_{tag}_ms'] = best * 1e3
+        if tag == 'eval':
+            out['auction_eval_converged'] = bool((np.asarray(a) >= 0).all())
     return out
 
 
@@ -357,8 +479,9 @@ def bench_train_step(batch=8, n=2048, iters=8):
     rng = jax.random.key(7)
     for _ in range(2):  # compile + warm
         trainer.run_step(inputs, targets, rng=rng, epoch=1.0)
+    _progress('train step: measuring')
     samples = []
-    for _ in range(_bench_reps()):
+    for _ in range(_BUDGET.reps()):
         t0 = _time.time()
         for _ in range(iters):
             trainer.run_step(inputs, targets, rng=rng, epoch=1.0)
@@ -371,13 +494,32 @@ def bench_train_step(batch=8, n=2048, iters=8):
     }
 
 
+def _emit(results: dict, sections_done: list[str], final: bool = False) -> None:
+    """Print the full summary-so-far as one JSON line on stdout.
+
+    Every line is a complete record with the same schema, so whichever line
+    a driver parses (first, last, or the last one before a kill) is valid."""
+    value = results.get('chamfer_emd_pairs_per_s', 0.0)
+    line = {
+        'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
+        'value': round(value, 1),
+        'unit': 'pairs/s',
+        'vs_baseline': round(value / A100_EST_PAIRS_PER_S, 3),
+        'sections_done': ','.join(sections_done),
+        'elapsed_s': round(time.time() - _T0, 1),
+        **{k: round(v, 2) if isinstance(v, float) else v for k, v in results.items()},
+    }
+    if not final:
+        line['partial'] = True
+    print(json.dumps(line), flush=True)
+
+
 def main() -> None:
     # Fail (with a parseable line) if the TPU tunnel is wedged: a direct
     # jax.devices() in that state hangs forever (the axon plugin retries
     # indefinitely), so probe device init in a disposable subprocess first.
     # The tunnel occasionally flaps, so retry the probe a few times with
     # spacing before giving up (healthy init is well under a minute).
-    import os
     import subprocess
     import sys
 
@@ -428,66 +570,93 @@ def main() -> None:
         raise SystemExit(1)
 
     _progress('device probe ok')
-    try:
-        results = bench_loss_kernels()
-    except Exception as e:
-        # Last resort: a Mosaic lowering regression in the shared EMD kernel
-        # core would take down BOTH combined-loss variants. A slow-but-real
-        # number from the jnp golden path (XLA-compiled on the chip) beats a
-        # 0.0 record; the Pallas error stays on the line for diagnosis.
-        pallas_err = str(e)[:200]
-        from pccf.kernels import api as _kapi
 
-        try:
-            # thread-scoped pin: leaves any user PCCF_KERNEL_BACKEND env
-            # setting untouched for the remaining bench sections
-            with _kapi.force_backend('jnp'):
-                results = bench_loss_kernels()
-            results['loss_backend'] = 'jnp-fallback'
-            results['pallas_error'] = pallas_err
-        except Exception as e2:
-            print(json.dumps({
-                'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
-                'value': 0.0,
-                'unit': 'pairs/s',
-                'vs_baseline': 0.0,
-                'error': f'loss-kernel bench failed: pallas: {pallas_err}; jnp: {str(e2)[:200]}',
-            }))
-            raise SystemExit(1) from e2
-    try:
-        results.update(bench_counterfactual())
-    except Exception as e:  # keep the headline metric even if the model bench fails
-        results['counterfactual_error'] = str(e)[:200]
-        # same last-resort retry: the counterfactual path crosses the fused
-        # PCGen / transformer-stack / kNN / pool kernels, any of which could
-        # regress in Mosaic independently of the loss kernels
-        from pccf.kernels import api as _kapi
+    # persistent compilation cache: the flagship counterfactual model alone
+    # cost ~650 s of XLA compile in BENCH_r04; cache across runs so the
+    # driver's official run rides a warm cache
+    import jax
 
+    jax.config.update('jax_compilation_cache_dir', str(_REPO / '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
+    results: dict = {}
+    done: list[str] = []
+
+    # 1. headline loss kernel (never skipped; its own internal fallbacks)
+    try:
+        results.update(bench_loss_headline())
+    except Exception as e:
+        results['headline_error'] = str(e)[:300]
+    done.append('headline')
+    _emit(results, done)
+
+    # 2. counterfactual B=16 parity point (with jnp last-resort retry: the
+    # path crosses the fused PCGen / transformer-stack / kNN / pool kernels,
+    # any of which could regress in Mosaic independently of the loss kernels)
+    if _BUDGET.allow('counterfactual', 150):
         try:
-            with _kapi.force_backend('jnp'):
-                cf = bench_counterfactual()
-            results.update({f'{k}_jnp' if not k.startswith('counterfactual') else k: v
-                            for k, v in cf.items()})
-            results['counterfactual_backend'] = 'jnp-fallback'
-        except Exception as e2:
-            results['counterfactual_jnp_error'] = str(e2)[:200]
+            results.update(bench_counterfactual())
+        except Exception as e:
+            results['counterfactual_error'] = str(e)[:200]
+            from pccf.kernels import api as _kapi
+
+            try:
+                with _kapi.force_backend('jnp'):
+                    results.update(bench_counterfactual())
+                results['counterfactual_backend'] = 'jnp-fallback'
+            except Exception as e2:
+                results['counterfactual_jnp_error'] = str(e2)[:200]
+        done.append('counterfactual')
+        _emit(results, done)
+    else:
+        results['counterfactual_skipped'] = 'budget'
+
+    # 3. train step
+    if _BUDGET.allow('train_step', 180):
+        try:
+            results.update(bench_train_step())
+        except Exception as e:
+            results['train_step_error'] = str(e)[:200]
+        done.append('train_step')
+        _emit(results, done)
+    else:
+        results['train_step_skipped'] = 'budget'
+
+    # 4. serving points (B=64 + engine + pipelined)
+    if _BUDGET.allow('serving', 150):
+        try:
+            results.update(bench_serving())
+        except Exception as e:
+            results['serving_error'] = str(e)[:200]
+        done.append('serving')
+        _emit(results, done)
+    else:
+        results['serving_skipped'] = 'budget'
+
+    # 5. loss extras (per-kernel budget gates inside)
     try:
-        results.update(bench_train_step())
+        results.update(bench_loss_extras())
     except Exception as e:
-        results['train_step_error'] = str(e)[:200]
-    try:
-        results.update(bench_auction())
-    except Exception as e:
-        results['auction_error'] = str(e)[:200]
-    value = results['chamfer_emd_pairs_per_s']
-    line = {
-        'metric': 'chamfer_emd_pairs_per_sec_per_chip_2048pts_fwd_bwd',
-        'value': round(value, 1),
-        'unit': 'pairs/s',
-        'vs_baseline': round(value / A100_EST_PAIRS_PER_S, 3),
-        **{k: round(v, 2) if isinstance(v, float) else v for k, v in results.items()},
-    }
-    print(json.dumps(line))
+        results['loss_extras_error'] = str(e)[:200]
+    done.append('loss_extras')
+    _emit(results, done)
+
+    # 6. auction EMD
+    if _BUDGET.allow('auction', 60):
+        try:
+            results.update(bench_auction())
+        except Exception as e:
+            results['auction_error'] = str(e)[:200]
+        done.append('auction')
+    else:
+        results['auction_skipped'] = 'budget'
+
+    _emit(results, done, final=True)
+    if 'chamfer_emd_pairs_per_s' not in results:
+        # the headline (with all three internal fallbacks) failed: the final
+        # line above still carries every completed section plus the error,
+        # but the exit code must flag the run as degraded
+        raise SystemExit(1)
 
 
 if __name__ == '__main__':

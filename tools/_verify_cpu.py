@@ -41,12 +41,16 @@ def _dryrun() -> None:
 def _bench_small() -> None:
     import bench
 
-    r = bench.bench_loss_kernels(batch=2, n=512)
+    r = bench.bench_loss_headline(batch=2, n=512)
     assert r['chamfer_emd_pairs_per_s'] > 0, r
+    r.update(bench.bench_loss_extras(batch=2, n=512))
     print('loss ok:', {k: round(v, 2) for k, v in r.items() if isinstance(v, float)})
     r2 = bench.bench_counterfactual(batch=2, n=256)
     assert r2['counterfactual_samples_per_s'] > 0, r2
     print('cf ok:', round(r2['counterfactual_samples_per_s'], 2), 'samples/s')
+    r2s = bench.bench_serving(batch=2, n=256, big=8, engine=False)
+    assert r2s['counterfactual_b64_samples_per_s'] > 0, r2s
+    print('serving ok:', {k: round(v, 2) for k, v in r2s.items() if isinstance(v, float)})
     r3 = bench.bench_train_step(batch=2, n=256, iters=2)
     assert r3['vqvae_train_step_ms'] > 0, r3
     print('train ok:', round(r3['vqvae_train_step_ms'], 1), 'ms/step')

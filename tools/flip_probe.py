@@ -16,8 +16,9 @@ ConditionalPrior -> z2 -> decoder) learns and steers in this framework;
 chance-rate at micro scale would indicate a code defect instead.
 
 Usage: python tools/flip_probe.py [--epochs N] [--beta-z1 F] [--beta-z2 F]
-Run on CPU (JAX_PLATFORMS=cpu) in ~1-2 min; also wired as a slow test in
-tests/test_flip_probe.py.
+           [--anneal-frac F] [--n-per-class N]
+Run on CPU (JAX_PLATFORMS=cpu) in ~1-2 min; the flip-capable micro regime
+also runs ungated in the default suite (tests/test_flip_probe.py, ~30 s).
 """
 
 from __future__ import annotations
@@ -25,11 +26,11 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from functools import partial
+from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -84,8 +85,15 @@ def make_wae() -> WAutoEncoder:
 
 
 def run(epochs: int = 400, beta_z1: float = 0.1, beta_z2: float = 4.0,
-        lr: float = 3e-3, seed: int = 0, quiet: bool = False) -> dict:
-    w, logits, labels, protos = make_data(64, seed=seed)
+        lr: float = 3e-3, seed: int = 0, quiet: bool = False,
+        n_per_class: int = 64, anneal_frac: float = 1.0) -> dict:
+    """``anneal_frac``: fraction of the run over which the KLD anneal ramps
+    to 1 (cosine).  1.0 matches the reference schedule shape (full-run ramp);
+    smaller values give the z1 squeeze time at full pressure, which is what
+    the flip mechanism needs — used by the fast regression test."""
+    if epochs < 1:
+        raise ValueError('epochs must be >= 1 (the anneal schedule needs a run)')
+    w, logits, labels, protos = make_data(n_per_class, seed=seed)
     wae = make_wae()
     codebook = jnp.asarray(
         np.random.default_rng(1).standard_normal((T, 8, E)).astype(np.float32))
@@ -99,8 +107,30 @@ def run(epochs: int = 400, beta_z1: float = 0.1, beta_z2: float = 4.0,
     tx = optax.adamw(lr)
     opt_state = tx.init(params)
 
-    @partial(jax.jit, static_argnums=())
-    def step(params, opt_state, w_b, lg_b, anneal, key):
+    # The whole training runs as ONE lax.scan under jit: at these micro dims
+    # a per-minibatch host loop is dispatch-bound (~0.3 s/step on CPU), and
+    # the scan form is the TPU-idiomatic shape regardless.  Batch order comes
+    # from host-side permutations precomputed per epoch (tiny: the full
+    # batched dataset copy is a few MB).
+    n = w_flat.shape[0]
+    batch = min(64, n)
+    steps_per_epoch = n // batch
+    perm_rng = np.random.default_rng(seed + 7)
+    idx = np.concatenate([perm_rng.permutation(n)[: steps_per_epoch * batch]
+                          for _ in range(epochs)])
+    w_steps = w_flat[idx].reshape(epochs * steps_per_epoch, batch, -1)
+    lg_steps = logits_j[idx].reshape(epochs * steps_per_epoch, batch, -1)
+    ep_of_step = np.repeat(np.arange(epochs), steps_per_epoch)
+    anneal_steps = jnp.asarray(
+        0.5 * (1.0 - np.cos(
+            np.minimum(ep_of_step / (anneal_frac * epochs), 1.0) * np.pi)),
+        dtype=jnp.float32)
+    keys = jax.random.split(jax.random.key(seed + 13), epochs * steps_per_epoch)
+
+    def step(carry, xs):
+        params, opt_state = carry
+        w_b, lg_b, anneal, key = xs
+
         def loss_fn(p):
             out = wae.apply(
                 {'params': p}, WInputs(w_b, lg_b), codebook, train=True,
@@ -116,24 +146,21 @@ def run(epochs: int = 400, beta_z1: float = 0.1, beta_z2: float = 4.0,
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, aux
+        return (optax.apply_updates(params, updates), opt_state), (loss, *aux)
 
-    n = w_flat.shape[0]
-    key = jax.random.key(seed + 7)
-    for ep in range(epochs):
-        anneal = 0.5 * (1.0 - np.cos(min(ep / epochs, 1.0) * np.pi))
-        key, k1, k2 = jax.random.split(key, 3)
-        perm = jax.random.permutation(k1, n)
-        for i in range(0, n, 64):
-            idx = perm[i:i + 64]
-            key, ks = jax.random.split(key)
-            params, opt_state, loss, aux = step(
-                params, opt_state, w_flat[idx], logits_j[idx],
-                jnp.float32(anneal), ks)
-        if not quiet and (ep % max(1, epochs // 8) == 0 or ep == epochs - 1):
-            mse, kld1, kld2 = (float(a) for a in aux)
-            print(f'ep {ep:4d} loss {float(loss):8.3f} mse {mse:8.3f} '
-                  f'kld1 {kld1:7.3f} kld2 {kld2:7.3f} anneal {anneal:.3f}')
+    @jax.jit
+    def train(params, opt_state):
+        return jax.lax.scan(
+            step, (params, opt_state), (w_steps, lg_steps, anneal_steps, keys))
+
+    (params, opt_state), trace = train(params, opt_state)
+    if not quiet:
+        losses, mses, kld1s, kld2s = (np.asarray(t) for t in trace)
+        for ep in range(0, epochs, max(1, epochs // 8)):
+            s = (ep + 1) * steps_per_epoch - 1
+            print(f'ep {ep:4d} loss {losses[s]:8.3f} mse {mses[s]:8.3f} '
+                  f'kld1 {kld1s[s]:7.3f} kld2 {kld2s[s]:7.3f} '
+                  f'anneal {float(anneal_steps[s]):.3f}')
 
     # --- counterfactual flips: every sample toward every other class -------
     @jax.jit
@@ -155,13 +182,18 @@ def run(epochs: int = 400, beta_z1: float = 0.1, beta_z2: float = 4.0,
         flips += flips_j
         total += int(mask.sum())
 
-    # recon sanity: plain forward (deterministic CF toward own class, tv=0)
-    rec0 = np.asarray(cf(w_flat, logits_j, 0)).reshape(n, -1)  # tv=1 to 0
+    # full-data reconstruction MSE (eval forward, not the last mini-batch)
+    out_eval = wae.apply(
+        {'params': params}, WInputs(w_flat, logits_j), codebook, train=False,
+        rngs={'sampling': jax.random.key(seed + 11)})
+    final_mse = float(jnp.sum(
+        (out_eval.w_recon - w_flat.reshape(out_eval.w_recon.shape)) ** 2,
+        axis=1).mean())
     result = {
         'flip_rate': flips / total,
         'chance': 1.0 / N_CLASSES,
         'per_target': per_target,
-        'final_mse': float(aux[0]),
+        'final_mse': final_mse,
         'epochs': epochs, 'beta_z1': beta_z1, 'beta_z2': beta_z2,
     }
     if not quiet:
@@ -176,5 +208,8 @@ if __name__ == '__main__':
     ap.add_argument('--beta-z2', type=float, default=4.0)
     ap.add_argument('--lr', type=float, default=3e-3)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--anneal-frac', type=float, default=1.0)
+    ap.add_argument('--n-per-class', type=int, default=64)
     args = ap.parse_args()
-    run(args.epochs, args.beta_z1, args.beta_z2, args.lr, args.seed)
+    run(args.epochs, args.beta_z1, args.beta_z2, args.lr, args.seed,
+        n_per_class=args.n_per_class, anneal_frac=args.anneal_frac)
