@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pccf.kernels import api as kapi, ops
-from pccf.nn.layers import DenseBlock, default_act, get_kernel_init
+from pccf.nn.layers import DenseBlock, bn_groups, default_act, get_kernel_init
 
 Array = jax.Array
 
@@ -90,19 +90,33 @@ class EdgeConvBlock(nn.Module):
                 f = u.shape[-1]
                 sums = kapi.graph_sum_pool(jnp.concatenate([u, u * u], axis=-1), idx)
                 usum, u2sum = sums[..., :f], sums[..., f:]
-                denom = u.shape[0] * u.shape[1] * idx.shape[-1]
-                e_u = jnp.sum(usum, axis=(0, 1)) / denom
-                e_u2 = jnp.sum(u2sum, axis=(0, 1)) / denom
-                e_cross = jnp.sum(s * usum, axis=(0, 1)) / denom
-                batch_mean = e_u + jnp.mean(s, axis=(0, 1))
+                # statistic groups (bn_groups): axis-0 reshape (G, B/G, N, F)
+                # turns every global-batch reduction into a per-group one —
+                # G=1 is the GSPMD global-stats path, G=dp the reference's
+                # per-replica DDP semantics (see layers.bn_groups)
+                g = bn_groups()
+                bsz = u.shape[0]
+                if bsz % g:
+                    raise ValueError(f'batch {bsz} not divisible by bn groups {g}')
+
+                def gmean(t):  # (B, N, F) -> (G, F) per-group mean over B/G, N
+                    return jnp.mean(t.reshape(g, bsz // g, *t.shape[1:]), axis=(1, 2))
+
+                k_n = idx.shape[-1]
+                e_u = gmean(usum) / k_n
+                e_u2 = gmean(u2sum) / k_n
+                e_cross = gmean(s * usum) / k_n
+                batch_mean = e_u + gmean(s)
                 batch_var = (
-                    e_u2 + 2.0 * e_cross + jnp.mean(jnp.square(s), axis=(0, 1))
+                    e_u2 + 2.0 * e_cross + gmean(jnp.square(s))
                     - jnp.square(batch_mean)
                 )
                 if not self.is_initializing():
-                    ra_mean.value = momentum * ra_mean.value + (1 - momentum) * batch_mean
-                    ra_var.value = momentum * ra_var.value + (1 - momentum) * batch_var
-                mean, var = batch_mean, batch_var
+                    ra_mean.value = momentum * ra_mean.value + (1 - momentum) * batch_mean.mean(0)
+                    ra_var.value = momentum * ra_var.value + (1 - momentum) * batch_var.mean(0)
+                # per-sample affine: repeat the group stats over B/G samples
+                mean = jnp.repeat(batch_mean, bsz // g, axis=0)[:, None, :]
+                var = jnp.repeat(batch_var, bsz // g, axis=0)[:, None, :]
             else:
                 mean, var = ra_mean.value, ra_var.value
             a = scale * jax.lax.rsqrt(var + eps)
@@ -113,13 +127,18 @@ class EdgeConvBlock(nn.Module):
 
         pre = kapi.gather_neighbors(u, idx) + s[:, :, None, :]  # (B, N, k, F)
         if train:
-            axes = (0, 1, 2)
-            batch_mean = jnp.mean(pre, axis=axes)
-            batch_var = jnp.mean(jnp.square(pre), axis=axes) - jnp.square(batch_mean)
+            g = bn_groups()
+            bsz = pre.shape[0]
+            if bsz % g:
+                raise ValueError(f'batch {bsz} not divisible by bn groups {g}')
+            preg = pre.reshape(g, bsz // g, *pre.shape[1:])
+            batch_mean = jnp.mean(preg, axis=(1, 2, 3))  # (G, F)
+            batch_var = jnp.mean(jnp.square(preg), axis=(1, 2, 3)) - jnp.square(batch_mean)
             if not self.is_initializing():
-                ra_mean.value = momentum * ra_mean.value + (1 - momentum) * batch_mean
-                ra_var.value = momentum * ra_var.value + (1 - momentum) * batch_var
-            mean, var = batch_mean, batch_var
+                ra_mean.value = momentum * ra_mean.value + (1 - momentum) * batch_mean.mean(0)
+                ra_var.value = momentum * ra_var.value + (1 - momentum) * batch_var.mean(0)
+            mean = jnp.repeat(batch_mean, bsz // g, axis=0)[:, None, None, :]
+            var = jnp.repeat(batch_var, bsz // g, axis=0)[:, None, None, :]
         else:
             mean, var = ra_mean.value, ra_var.value
         pre = (pre - mean) * jax.lax.rsqrt(var + eps) * scale + bias

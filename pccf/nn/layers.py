@@ -13,6 +13,7 @@ linear/tanh heads, gain-0.01 xavier for ``soft_init`` heads.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -21,6 +22,69 @@ from flax import linen as nn
 
 Array = jax.Array
 Act = Callable[[Array], Array]
+
+
+def bn_groups() -> int:
+    """BatchNorm statistic groups (env ``PCCF_BN_GROUPS``, trace-time).
+
+    1 (default): statistics over the global batch — GSPMD semantics, the
+    better estimator at the small per-device batches all configs here use.
+    G>1: statistics per contiguous batch-group of B/G samples — exactly the
+    reference's unsynced-DDP per-replica BatchNorm with G replicas
+    (reference src/utils/parallel.py:17-66 wraps DDP without SyncBatchNorm).
+    With the batch dp-sharded over G devices, groups coincide with shards, so
+    XLA computes the stats shard-locally with NO cross-device collective.
+    The measured quality effect of this deviation is recorded in PARITY.md
+    ("Known deviations").
+    """
+    return max(1, int(os.environ.get('PCCF_BN_GROUPS', '1')))
+
+
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm whose training statistics are computed per batch-group.
+
+    Group g normalises with the mean/var of samples [g*B/G, (g+1)*B/G) —
+    the per-replica semantics of the reference's DDP default.  Running
+    statistics are updated with the across-group mean of the group moments
+    (the replicas' running buffers converge to the same thing in
+    expectation; rank 0's buffer is what the reference checkpoints).
+    Variable names mirror ``nn.BatchNorm`` ('scale'/'bias' params,
+    batch_stats 'mean'/'var'), so checkpoints are interchangeable with the
+    G=1 path.
+    """
+
+    groups: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool) -> Array:
+        feat = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (feat,))
+        bias = self.param('bias', nn.initializers.zeros, (feat,))
+        ra_mean = self.variable('batch_stats', 'mean', jnp.zeros, (feat,))
+        ra_var = self.variable('batch_stats', 'var', jnp.ones, (feat,))
+        if use_running_average:
+            a = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return x * a + (bias - ra_mean.value * a)
+        g = self.groups
+        if x.shape[0] % g:
+            raise ValueError(f'batch {x.shape[0]} not divisible by bn groups {g}')
+        xg = x.reshape(g, x.shape[0] // g, *x.shape[1:])
+        axes = tuple(range(1, xg.ndim - 1))
+        mean = jnp.mean(xg, axis=axes)  # (G, F)
+        var = jnp.mean(jnp.square(xg), axis=axes) - jnp.square(mean)
+        if not self.is_initializing():
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * mean.mean(0)
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value + (1 - self.momentum) * var.mean(0)
+            )
+        shape = (g, 1) + (1,) * (xg.ndim - 3) + (feat,)
+        a = scale * jax.lax.rsqrt(var.reshape(shape) + self.epsilon)
+        y = xg * a + (bias - mean.reshape(shape) * a)
+        return y.reshape(x.shape)
 
 
 def default_act(x: Array) -> Array:
@@ -107,9 +171,15 @@ class DenseBlock(nn.Module):
             y = y.reshape(*x.shape[:-1], self.features)
         if self.batch_norm:
             # torch momentum 0.1 == flax momentum 0.9; normalise feature axis
-            y = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name='bn'
-            )(y)
+            g = bn_groups()
+            if g > 1:
+                # per-replica statistics (reference DDP semantics); same
+                # variable tree as nn.BatchNorm -> checkpoint-compatible
+                y = GroupedBatchNorm(groups=g, name='bn')(y, not train)
+            else:
+                y = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5, name='bn'
+                )(y)
         if self.act is not None:
             y = self.act(y)
         if self.residual:
