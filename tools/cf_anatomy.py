@@ -172,9 +172,31 @@ def main() -> None:
         batches = list(loader.epoch_iterator(1))
         labels = np.concatenate([np.asarray(t.label).ravel() for _, t in batches])
         n_classes = cfg.data.dataset.n_classes
+
+        # conditional-prior geometry: pairwise L2 between p_mu2(one_hot(c))
+        # — a collapsed prior (near-zero off-diagonals) cannot steer decodes
+        # no matter how squeezed the delta is
+        prior_fn = jax.jit(
+            lambda v, p: vqvae.module.apply(
+                v, p, False,
+                method=lambda m, p_, t_: m.w_autoencoder.z2_prior(p_, t_),
+            )
+        )
+        eye = np.eye(n_classes, dtype=np.float32)
+        p_out = np.asarray(prior_fn(vqvae.variables, eye))
+        p_mu2 = p_out[..., : p_out.shape[-1] // 2]
+        dmat = np.sqrt(
+            ((p_mu2[:, None] - p_mu2[None]) ** 2).sum(axis=(2, 3))
+        )
+        record['prior_mu2_pairwise_l2'] = [[round(float(v), 3) for v in row] for row in dmat]
+        print('prior pairwise L2:', record['prior_mu2_pairwise_l2'], flush=True)
+
         for mode, name in ((0, 'full'), (1, 'delta_src'), (2, 'prior_only'), (3, 'prior_z1zero')):
             t0 = time.time()
             hits = {j: [0, 0] for j in range(n_classes)}
+            # predicted-class histogram per target: shows WHERE failed
+            # targets land (e.g. prior decodes for class 2 classified as 0)
+            hist = np.zeros((n_classes, n_classes), np.int64)
             for inputs, _t in batches:
                 lg = cls_fn(classifier.variables, inputs)
                 for j in range(n_classes):
@@ -185,10 +207,12 @@ def main() -> None:
                     pred = np.asarray(cls_fn(classifier.variables, Inputs(cloud=out.recon))).argmax(1)
                     hits[j][0] += int((pred == j).sum())
                     hits[j][1] += int(pred.shape[0])
+                    np.add.at(hist[j], pred, 1)
             per_target = {f'to_{j}': round(h / t, 4) for j, (h, t) in hits.items()}
             overall = sum(h for h, _ in hits.values()) / sum(t for _, t in hits.values())
             record['modes'][name] = {
                 'overall': round(overall, 4), **per_target,
+                'pred_hist': hist.tolist(),
                 'wall_s': round(time.time() - t0, 1),
             }
             print(name, json.dumps(record['modes'][name]), flush=True)

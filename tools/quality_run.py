@@ -75,6 +75,17 @@ def main() -> None:
         'the tag\'s existing checkpoints (for A/B of eval-path knobs, e.g. '
         'PCCF_KNN_MXU=bf16 fidelity)',
     )
+    ap.add_argument(
+        '--stage2-only', action='store_true',
+        help='reuse the tag\'s classifier + VQ-VAE checkpoints and re-train '
+        'only the W-autoencoder (then evaluate) — the KLD-regime sweep path; '
+        'combine with --clone-from to keep the source tag untouched',
+    )
+    ap.add_argument(
+        '--clone-from', default=None, metavar='TAG',
+        help='copy TAG\'s experiment dir to this run\'s tag before starting '
+        '(checkpoint reuse without overwriting the source)',
+    )
     ap.add_argument('--out', default='QUALITY_r5.json', help='output JSON filename')
     args = ap.parse_args()
 
@@ -100,6 +111,19 @@ def main() -> None:
 
     os.environ.setdefault('ROOT_EXP_DIR', str(REPO / 'experiments' / args.tag))
     os.environ.setdefault('DATASET_DIR', str(REPO / 'datasets'))
+    if args.clone_from:
+        import shutil
+
+        src = REPO / 'experiments' / args.clone_from
+        dst = Path(os.environ['ROOT_EXP_DIR'])
+        if not dst.exists():
+            shutil.copytree(src, dst)
+            # the copied tree nests runs under the SOURCE tag name; mirror it
+            # under the new tag so Experiment(name=args.tag) resumes from it
+            for ver in dst.iterdir():
+                nested = ver / args.clone_from
+                if nested.is_dir() and not (ver / args.tag).exists():
+                    nested.rename(ver / args.tag)
 
     # persistent compilation cache: the flagship-shape train steps cost
     # minutes of XLA compile; amortize across runs and the eval-only A/Bs
@@ -218,7 +242,7 @@ def main() -> None:
         print(f'== stage {name} done in {dt:.0f}s ==', flush=True)
         return out, buf.getvalue()
 
-    with exp.create_run(resume=args.eval_only):
+    with exp.create_run(resume=args.eval_only or args.stage2_only):
         if args.eval_only:
             from evaluate_counterfactuals import evaluate_counterfactuals
             from train_w_autoencoder import load_models
@@ -239,27 +263,28 @@ def main() -> None:
             print(f'wrote {out_path}')
             return
 
-        from train_classifier import train_classifier
+        if not args.stage2_only:
+            from train_classifier import train_classifier
 
-        _, cls_log = stage('classifier', train_classifier)
-        # keep the confusion matrix the classifier entry prints (the
-        # held-out test accuracy itself is on the evaluate-stage record as
-        # the ClassificationOriginal suite)
-        if 'Confusion Matrix' in cls_log:
-            cm_at = cls_log.index('Confusion Matrix')
-            record['stages']['classifier']['confusion_matrix_log'] = cls_log[
-                cm_at : cm_at + 400
-            ]
+            _, cls_log = stage('classifier', train_classifier)
+            # keep the confusion matrix the classifier entry prints (the
+            # held-out test accuracy itself is on the evaluate-stage record
+            # as the ClassificationOriginal suite)
+            if 'Confusion Matrix' in cls_log:
+                cm_at = cls_log.index('Confusion Matrix')
+                record['stages']['classifier']['confusion_matrix_log'] = cls_log[
+                    cm_at : cm_at + 400
+                ]
 
-        from train_autoencoder import train_autoencoder
+            from train_autoencoder import train_autoencoder
 
-        (chamfer, ae_log) = stage('autoencoder', train_autoencoder)
-        record['stages']['autoencoder']['final_test_chamfer'] = (
-            float(chamfer) if chamfer is not None else None
-        )
-        emds = re.findall(r"'EMD': ([0-9.eE+-]+)", ae_log)
-        if emds:
-            record['stages']['autoencoder']['final_test_emd'] = float(emds[-1])
+            (chamfer, ae_log) = stage('autoencoder', train_autoencoder)
+            record['stages']['autoencoder']['final_test_chamfer'] = (
+                float(chamfer) if chamfer is not None else None
+            )
+            emds = re.findall(r"'EMD': ([0-9.eE+-]+)", ae_log)
+            if emds:
+                record['stages']['autoencoder']['final_test_emd'] = float(emds[-1])
 
         from train_w_autoencoder import load_models, train_w_autoencoder
 
@@ -268,6 +293,26 @@ def main() -> None:
         record['stages']['w_autoencoder']['final_loss'] = (
             float(wloss) if wloss is not None else None
         )
+        # final latent budget from the CSV tracker — the flip mechanism is a
+        # KLD-regime property (KLD1 ~ z1 info, KLD2 ~ posterior-delta info),
+        # so the record must carry it (round-5 anatomy: a delta at 6.7 nats
+        # nullifies the conditioning channel regardless of wiring)
+        try:
+            import csv as _csv
+
+            csv_path = (
+                Path(os.environ['ROOT_EXP_DIR'])
+                / cfg.user.path.version_dir.name
+                / args.tag / 'metrics' / 'WAutoEncoder_Train.csv'
+            )
+            rows = list(_csv.DictReader(csv_path.open()))
+            record['stages']['w_autoencoder']['final_klds'] = {
+                k: float(rows[-1][k])
+                for k in ('KLD1', 'KLD2', 'MSE', 'Quantisation Accuracy')
+                if k in rows[-1]
+            }
+        except (OSError, KeyError, IndexError) as e:
+            record['stages']['w_autoencoder']['final_klds_error'] = str(e)[:120]
         vqvae.save_state()
 
         from evaluate_counterfactuals import evaluate_counterfactuals
