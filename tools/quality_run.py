@@ -12,11 +12,13 @@ deviations from the published config, both recorded in the output JSON:
 
 - epochs are scaled (45 / 200 / 300 vs the reference's 45 / 1000 / 500)
   to fit a chip session;
-- the stage-2 KLD1 weight defaults to 0.3 (reference vae_objective.yaml:
-  0.1) — the published value is calibrated to ShapeNet recon energy and
-  on the synthetic surrogate leaves z1 carrying the class, so the
-  counterfactual channel never engages (flip rate = chance;
-  tools/flip_probe.py sweep, round 4).
+- the stage-2 KLD weights default to 3.0 / 16.0 (reference
+  vae_objective.yaml: 0.1 / 4.0) — the published values are calibrated to
+  ShapeNet recon energy; on the synthetic surrogate both paid latent
+  channels must be priced above the KLD-free conditioning route or the
+  class information bypasses it and the counterfactual steer dies (the
+  "information seesaw", BASELINE.md round-5 section; flips 0.25 at the
+  reference-shaped weights vs 0.488 at 3/16, QUALITY_r5c.json).
 
 The codebook-maintenance hook (diagnose_every=10, incl. final-epoch
 dead-entry burial) and stage-2 KLD annealing run live, exactly as a real
@@ -50,15 +52,20 @@ def main() -> None:
     ap.add_argument('--epochs-cls', type=int, default=45)
     ap.add_argument('--epochs-ae', type=int, default=200)
     ap.add_argument('--epochs-wae', type=int, default=300)
-    # Counterfactual-flip regime (tools/flip_probe.py sweep, round 4): on the
-    # synthetic surrogate the reference's c_kld1=0.1 leaves z1 carrying the
-    # class (flip rate = chance even at 1000 epochs); c_kld1=0.3 with the
-    # anneal fully completed compresses z1 (~1.5 nats) and flips 100%.  The
-    # KLD weight must be scaled to the data's recon energy — 0.1 is the
-    # published ShapeNet value (reference vae_objective.yaml), 0.3 is the
-    # surrogate default here.
-    ap.add_argument('--c-kld1', type=float, default=0.3)
-    ap.add_argument('--c-kld2', type=float, default=4.0)
+    # Counterfactual-flip regime (round-5 campaign, BASELINE.md "information
+    # seesaw"): the CVAE has three routes into the decoder — z1 (priced by
+    # c_kld1), the z2 posterior delta (priced by c_kld2), and the KLD-free
+    # conditioning probs -> p_mu2.  On the surrogate the class information
+    # settles in whichever PAID channel is cheaper and the counterfactual
+    # steer dies (QUALITY_r5: 0.3/4 -> delta-rich, flips 0.25; QUALITY_r5b:
+    # 0.3/16 -> z1-rich, flips 0.25).  Pricing BOTH paid channels high makes
+    # the free conditioning route the cheapest source of class information:
+    # 3/16 measures flips 0.488 at flagship shapes (QUALITY_r5c) and 1.00 at
+    # micro scale (tools/flip_probe.py).  The published values (0.1/4,
+    # reference vae_objective.yaml) are calibrated to ShapeNet recon energy
+    # and remain the config defaults for real data.
+    ap.add_argument('--c-kld1', type=float, default=3.0)
+    ap.add_argument('--c-kld2', type=float, default=16.0)
     ap.add_argument('--n-train', type=int, default=512)
     ap.add_argument('--n-test', type=int, default=128)
     ap.add_argument('--variability', type=float, default=0.85)
